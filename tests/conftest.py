@@ -1,0 +1,28 @@
+import os
+import sys
+
+# Deterministic CPU mesh for sharding tests; real TPU runs use the driver's env.
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+os.environ.setdefault('XLA_FLAGS',
+                      os.environ.get('XLA_FLAGS', '') + ' --xla_force_host_platform_device_count=8')
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+REFERENCE = '/root/reference'
+SHIMS = os.path.join(REPO, 'tests', 'ref_shims')
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE)
+
+
+def enable_reference_import():
+    """Make `import ghn3` (the reference) work via our test-only ppuda/torchvision shims.
+
+    Used only by golden parity tests; the framework itself never imports the reference.
+    """
+    for p in (SHIMS, REFERENCE):
+        if p not in sys.path:
+            sys.path.insert(0, p)
