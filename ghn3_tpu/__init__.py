@@ -8,5 +8,7 @@ meta-train the hypernetwork on DeepNets-1M, and evaluate/fine-tune target nets.
 __version__ = '0.1.0'
 
 from .graph import GraphDef, GraphBatch, PRIMITIVES
+from .config import GHNConfig
+from .hypernet import GHN3
 
-__all__ = ['GraphDef', 'GraphBatch', 'PRIMITIVES', '__version__']
+__all__ = ['GraphDef', 'GraphBatch', 'PRIMITIVES', 'GHNConfig', 'GHN3', '__version__']

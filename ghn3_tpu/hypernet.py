@@ -1,0 +1,120 @@
+"""User-facing GHN-3 hypernetwork object.
+
+Mirrors the reference one-liner API (README.md:72-81):
+
+    from ghn3_tpu import GHN3
+    ghn = GHN3.from_pretrained('ghn3tm8.pt')
+    model = ghn(model)           # torch module with predicted parameters
+
+and adds the JAX-native path: targets exposing ``param_table()`` receive their
+predicted tensors through table setters (functional nets collect them into a
+param dict).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import jax
+import numpy as np
+
+from .config import GHNConfig
+from . import checkpoint as ckpt
+from .graph.graphdef import GraphBatch, GraphDef
+from .models.ghn_core import init_ghn_params
+from .predict import TargetTable, predict_batch
+
+
+def _target_table(net) -> TargetTable:
+    if isinstance(net, list) and (len(net) == 0 or isinstance(net[0], dict)):
+        return net  # already a table
+    if hasattr(net, 'param_table'):
+        return net.param_table()
+    if hasattr(net, 'named_modules'):  # torch module
+        from .torch_interop import torch_param_table
+        return torch_param_table(net)
+    raise TypeError(f'cannot build a parameter table for target of type {type(net)}')
+
+
+class GHN3:
+    """Graph HyperNetwork (GHN-3) with JAX parameters."""
+
+    def __init__(self, config: GHNConfig, params: Optional[Dict] = None, seed: int = 0):
+        if config.is_ghn2:
+            raise NotImplementedError('GHN-2 (GatedGNN) checkpoints are not supported yet')
+        self.config = config
+        self.params = params if params is not None else init_ghn_params(
+            jax.random.PRNGKey(seed), config)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_pretrained(cls, path: str, **overrides) -> 'GHN3':
+        """Load a checkpoint: our .npz or a published torch/joblib .pt file."""
+        config, sd = ckpt.load_state_dict_file(path)
+        if config is not None:
+            known = set(GHNConfig.__dataclass_fields__)
+            cfg_kwargs = {k: v for k, v in dict(config).items() if k in known}
+            cfg_kwargs.update(overrides)
+            cfg = GHNConfig(**cfg_kwargs)
+        else:
+            cfg = ckpt.infer_config(sd, **overrides)
+        params = ckpt.params_from_state_dict(sd, cfg)
+        return cls(cfg, params=params)
+
+    def save(self, path: str) -> None:
+        ckpt.save_npz(path, self.params, self.config)
+
+    def num_params(self) -> int:
+        return int(sum(np.prod(v.shape) for v in self.params.values()))
+
+    # ------------------------------------------------------------------
+    def build_graphs(self, nets: Sequence[Any]) -> List[GraphDef]:
+        graphs = []
+        cutoff = self.config.ve_cutoff if self.config.ve else 1
+        for net in nets:
+            if isinstance(net, GraphDef):
+                graphs.append(net)
+            elif hasattr(net, 'graph_def'):
+                graphs.append(net.graph_def(ve_cutoff=cutoff))
+            elif hasattr(net, 'named_modules'):
+                from .graph.torch_trace import trace_torch_model
+                graphs.append(trace_torch_model(net, ve_cutoff=cutoff))
+            else:
+                raise TypeError(f'cannot build a graph for target of type {type(net)}')
+        return graphs
+
+    def __call__(self, nets, graphs=None, predict_class_layers: bool = True,
+                 bn_track_running_stats: bool = True, keep_grads: bool = False,
+                 reduce_graph: bool = False, sanity_check: bool = False,
+                 rng: Optional[np.random.Generator] = None):
+        """Predict parameters for one target or a list of targets.
+
+        ``keep_grads`` exists for reference API compatibility; gradients through
+        prediction are available only on the JAX-native training path
+        (parallel/trainer.py), not through torch targets.
+        """
+        is_lst = isinstance(nets, (list, tuple))
+        nets_list = list(nets) if is_lst else [nets]
+
+        if graphs is None:
+            graph_list = self.build_graphs(nets_list)
+        elif isinstance(graphs, GraphBatch):
+            graph_list = list(graphs.graphs)
+        elif isinstance(graphs, GraphDef):
+            graph_list = [graphs]
+        else:
+            graph_list = list(graphs)
+
+        batch = graphs if isinstance(graphs, GraphBatch) else GraphBatch.from_graphs(graph_list)
+        tables = [_target_table(net) for net in nets_list]
+        predict_batch(self.params, self.config, batch, tables,
+                      predict_class_layers=predict_class_layers,
+                      reduce_graph=reduce_graph, sanity_check=sanity_check, rng=rng)
+
+        if not bn_track_running_stats:
+            from .torch_interop import set_bn_eval_without_stats
+            for net in nets_list:
+                if hasattr(net, 'named_modules'):
+                    set_bn_eval_without_stats(net)
+
+        return nets_list if is_lst else nets_list[0]

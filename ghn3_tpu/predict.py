@@ -1,0 +1,210 @@
+"""End-to-end parameter prediction: GraphBatch -> decoded target parameters.
+
+Pipeline (reference stack 3.1 in SURVEY.md, redesigned for TPU):
+
+  host:   match graph nodes to target params, build shape indices + decode groups
+  device: graphormer forward over the padded batch (one XLA program per bucket),
+          batched per-shape-key decode (one program per (key, group-bucket))
+  host:   tile/normalize each tensor to its exact target shape, hand to setters
+
+Decode-group gathers use per-graph slab offsets (b * N_pad + node), so batched
+prediction is identical to per-model prediction (see GraphBatch docstring for the
+reference deviation here).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import GHNConfig
+from .graph.graphdef import GraphBatch, GraphDef
+from .models import ghn_core
+from .models.shape_encoder import tables_for
+from .ops.assembly import decode_key, normalize_params, tile_params
+
+# A target parameter record: shape, weight/bias flag, and a setter receiving the
+# final numpy tensor. Target frontends (torch interop, JAX functional nets) build
+# per-cell dicts of these — the equivalent of ppuda's named_layered_modules.
+@dataclasses.dataclass
+class TargetParam:
+    sz: Tuple[int, ...]
+    is_w: bool
+    set_fn: Callable[[np.ndarray, bool], None]   # (tensor, is_weight) -> None
+
+
+TargetTable = List[Dict[str, TargetParam]]       # per-cell param tables
+
+
+@dataclasses.dataclass
+class GroupItem:
+    flat_idx: int                 # b * N_pad + node_ind
+    record: TargetParam
+    target_sz: Tuple[int, ...]
+
+
+@dataclasses.dataclass
+class Mapping:
+    groups: Dict[Tuple[int, ...], List[GroupItem]]
+    shape_ind: np.ndarray         # (B, N_pad, 4) int32
+    n_unmatched: int
+
+
+def _candidate_names(p_name: str) -> List[str]:
+    if not p_name.endswith(('.weight', '.bias', 'in_proj_weight', 'in_proj_bias')):
+        p_name = p_name + '.weight'
+    return [p_name, p_name.replace('to_qkv', 'attn.to_qkv').replace('to_out', 'attn.to_out')]
+
+
+_UNMATCHED_OK = ('input', 'sum', 'concat', 'pool', 'glob_avg', 'msa', 'cse')
+
+
+def map_net_params(batch: GraphBatch, tables: Sequence[TargetTable], cfg: GHNConfig,
+                   reduce_graph: bool = False, sanity_check: bool = False) -> Mapping:
+    """Match graph nodes to target parameters (reference `_map_net_params`,
+    nn.py:594-692) and build the shape-encoder index array."""
+    shape_tables = tables_for(cfg)
+    b_count = len(batch)
+    n_pad = batch.n_pad
+    shape_ind = np.tile(np.array(shape_tables.dummy_index, dtype=np.int32),
+                        (b_count, n_pad, 1))
+    groups: Dict[Tuple[int, ...], List[GroupItem]] = {}
+    n_unmatched = 0
+
+    for b, (graph, table) in enumerate(zip(batch.graphs, tables)):
+        table = [dict(cell) for cell in table] if reduce_graph else table
+        base = batch.slab_offset(b)
+        for cell_id, cell_info in enumerate(graph.node_info):
+            cell_table = table[cell_id] if cell_id < len(table) else {}
+            for row in cell_info:
+                matched: Optional[TargetParam] = None
+                matched_name = None
+                for name in _candidate_names(row.param_name):
+                    if name in cell_table:
+                        matched = cell_table[name]
+                        matched_name = name
+                        break
+                if matched is None:
+                    n_unmatched += 1
+                    if row.sz is not None:
+                        shape_ind[b, row.node_ind] = shape_tables.shape_index(row.sz)
+                    if sanity_check and not any(row.op.find(p) >= 0 for p in _UNMATCHED_OK):
+                        raise ValueError(
+                            f'unmatched graph node: cell {cell_id}, param {row.param_name!r}, '
+                            f'op {row.op!r}; target table keys: {sorted(cell_table)[:20]}')
+                    continue
+                sz = tuple(matched.sz)
+                shape_ind[b, row.node_ind] = shape_tables.shape_index(sz)
+                key = decode_key(sz, cfg.max_shape, row.is_last_weight, row.is_last_bias)
+                groups.setdefault(key, []).append(
+                    GroupItem(flat_idx=base + row.node_ind, record=matched, target_sz=sz))
+                if reduce_graph:
+                    del cell_table[matched_name]
+    return Mapping(groups=groups, shape_ind=shape_ind, n_unmatched=n_unmatched)
+
+
+# ---------------------------------------------------------------------------
+# jitted programs (cached per static signature)
+# ---------------------------------------------------------------------------
+
+def _precision(cfg: GHNConfig) -> str:
+    # full fp32 matmuls for checkpoint parity; bf16 mode trades parity for speed
+    return 'highest' if cfg.dtype == 'float32' else 'default'
+
+
+@functools.lru_cache(maxsize=None)
+def _forward_fn(cfg: GHNConfig):
+    def fwd(params, node_op, adj, shape_ind, mask):
+        with jax.default_matmul_precision(_precision(cfg)):
+            x = ghn_core.ghn_forward(params, cfg, node_op, adj, shape_ind, mask)
+        return x.reshape(-1, cfg.hid)
+    return jax.jit(fwd)
+
+
+def _group_bucket(g: int) -> int:
+    return 1 << max(0, int(np.ceil(np.log2(max(1, g)))))
+
+
+@functools.lru_cache(maxsize=None)
+def _decode_fn(cfg: GHNConfig, key: Tuple[int, ...]):
+    def run(params, x_g):
+        with jax.default_matmul_precision(_precision(cfg)):
+            return _decode(params, x_g)
+
+    def _decode(params, x_g):
+        if len(key) == 2 and key[1] > 0:      # classification weight
+            return ghn_core.decode_conv(params, cfg, x_g, (key[0], key[1], 1, 1), class_pred=True)
+        if len(key) == 2 and key[1] < 0:      # classification bias
+            w = ghn_core.decode_1d(params, x_g).reshape(x_g.shape[0], 2, -1)
+            return ghn_core.decode_bias_class(params, w)
+        if len(key) == 2:                     # 1d (norm weight/bias pairs, biases)
+            return ghn_core.decode_1d(params, x_g).reshape(x_g.shape[0], 2, -1)
+        if len(key) == 3:                     # 3d (e.g. layer_scale)
+            return ghn_core.decode_1d(params, x_g).reshape(x_g.shape[0], -1, 1, 1)
+        return ghn_core.decode_conv(params, cfg, x_g, key, class_pred=False)
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
+def _gather_fn(cfg: GHNConfig):
+    def run(x_flat, inds):
+        return jnp.take(x_flat, inds, axis=0)
+    return jax.jit(run)
+
+
+# ---------------------------------------------------------------------------
+# Orchestration
+# ---------------------------------------------------------------------------
+
+def predict_batch(params: Dict[str, jnp.ndarray], cfg: GHNConfig, batch: GraphBatch,
+                  tables: Sequence[TargetTable],
+                  predict_class_layers: bool = True,
+                  weight_norm: Optional[bool] = None,
+                  reduce_graph: bool = False,
+                  sanity_check: bool = False,
+                  rng: Optional[np.random.Generator] = None) -> Mapping:
+    """Predict and assign parameters for every target in the batch.
+
+    Assignment happens through each TargetParam's ``set_fn``; the function returns
+    the Mapping for introspection/debugging.
+    """
+    weight_norm = cfg.weight_norm if weight_norm is None else weight_norm
+    mapping = map_net_params(batch, tables, cfg, reduce_graph=reduce_graph,
+                             sanity_check=sanity_check)
+
+    x_flat = _forward_fn(cfg)(params, jnp.asarray(batch.node_op), jnp.asarray(batch.adj),
+                              jnp.asarray(mapping.shape_ind), jnp.asarray(batch.mask))
+
+    for key, items in mapping.groups.items():
+        g = len(items)
+        g_pad = _group_bucket(g)
+        inds = np.zeros((g_pad,), dtype=np.int32)
+        inds[:g] = [it.flat_idx for it in items]
+        x_g = _gather_fn(cfg)(x_flat, jnp.asarray(inds))
+        decoded = np.asarray(jax.device_get(_decode_fn(cfg, key)(params, x_g)))[:g]
+
+        is_cls = len(key) == 2 and key[1] != 0
+        if is_cls and not predict_class_layers:
+            continue
+
+        for w_ind, item in enumerate(items):
+            sz = item.target_sz
+            w_node = decoded[w_ind]
+            n_iter = 2 if (len(sz) == 1 and item.record.is_w) else 1
+            for it in range(n_iter):
+                if len(sz) == 1:
+                    # norm weight/bias channel pair: row 0 = weight, row 1 = bias
+                    w_ = w_node[1 - int(item.record.is_w) + it]
+                else:
+                    w_ = w_node
+                tiled = tile_params(w_, sz, rng=rng)
+                is_w = bool(item.record.is_w) and it == 0
+                if weight_norm:
+                    tiled = normalize_params(tiled, is_w)
+                item.record.set_fn(np.ascontiguousarray(tiled), is_w)
+    return mapping

@@ -1,0 +1,93 @@
+"""PyTorch target-model interop: parameter tables and setters.
+
+Gives the reference's one-liner API (`model = ghn(model)`) for arbitrary torch
+modules: a table of predictable tensors per cell (the ppuda
+`named_layered_modules` surface, SURVEY §2.9) and setters that copy predicted
+numpy tensors into the module parameters. Imports torch lazily — the rest of the
+framework never needs it.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from .graph.torch_trace import get_cell_ind
+from .predict import TargetParam, TargetTable
+
+
+def _make_setter(module, w_key: str, b_key: str):
+    import torch
+
+    def set_fn(tensor: np.ndarray, is_w: bool):
+        key = w_key if is_w else b_key
+        target = getattr(module, key)
+        t = torch.from_numpy(np.asarray(tensor, dtype=np.float32))
+        if isinstance(target, torch.Tensor):
+            if target.dim() == 4 and t.dim() == 2:
+                t = t[:, :, None, None]  # 1x1 convs decoded as 2d (e.g. squeezenet head)
+            assert tuple(target.shape) == tuple(t.shape), (key, tuple(target.shape), tuple(t.shape))
+            target.data = t
+        else:  # shape-only placeholder (lightweight skeletons)
+            setattr(module, key, t)
+    return set_fn
+
+
+def torch_param_table(model) -> TargetTable:
+    """Per-cell tables of predictable parameter tensors of a torch model."""
+    if hasattr(model, 'module'):  # DDP-style wrappers
+        model = model.module
+    n_cells = getattr(model, '_n_cells', 1)
+    table: TargetTable = [{} for _ in range(n_cells)]
+    cell_ind = 0
+    for module_name, m in model.named_modules():
+        ci = get_cell_ind(module_name, n_cells)
+        if ci is not None:
+            cell_ind = ci
+
+        is_w = getattr(m, 'weight', None) is not None
+        is_b = getattr(m, 'bias', None) is not None
+        is_proj_w = getattr(m, 'in_proj_weight', None) is not None
+        is_proj_b = getattr(m, 'in_proj_bias', None) is not None
+        is_pos_enc = getattr(m, 'pos_embedding', None) is not None
+        if not (is_w or is_b or is_proj_w or is_proj_b or is_pos_enc):
+            continue
+        if module_name.startswith('module.'):
+            module_name = module_name[len('module.'):]
+
+        if is_w or is_proj_w or is_pos_enc:
+            w_key = 'in_proj_weight' if is_proj_w else ('pos_embedding' if is_pos_enc else 'weight')
+            b_key = 'in_proj_bias' if is_proj_w else 'bias'
+            w = getattr(m, w_key)
+            sz = tuple(w) if isinstance(w, (list, tuple)) else tuple(w.shape)
+            table[cell_ind][module_name + '.' + w_key] = TargetParam(
+                sz=sz, is_w=True, set_fn=_make_setter(m, w_key, b_key))
+        if is_b or is_proj_b:
+            b_key = 'in_proj_bias' if is_proj_b else 'bias'
+            w_key = 'in_proj_weight' if is_proj_b else 'weight'
+            b = getattr(m, b_key)
+            sz = tuple(b) if isinstance(b, (list, tuple)) else tuple(b.shape)
+            table[cell_ind][module_name + '.' + b_key] = TargetParam(
+                sz=sz, is_w=False, set_fn=_make_setter(m, w_key, b_key))
+    return table
+
+
+def set_bn_eval_without_stats(model) -> None:
+    """Put BatchNorm layers into batch-stats mode so predicted parameters can be
+    evaluated without running statistics (reference nn.py:333-342)."""
+    import torch.nn as nn
+
+    def visit(module):
+        if isinstance(module, nn.BatchNorm2d):
+            module.track_running_stats = False
+            module.training = True
+    model.apply(visit)
+
+
+def total_param_norm(model) -> float:
+    """L2 norm of the stacked per-tensor norms (reference norm_check, nn.py:783-797)."""
+    import torch
+    with torch.no_grad():
+        norms = torch.stack([p.norm() for p in model.parameters()])
+        return float(torch.norm(norms, 2).item())

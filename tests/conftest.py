@@ -1,10 +1,11 @@
 import os
 import sys
 
-# Deterministic CPU mesh for sharding tests; real TPU runs use the driver's env.
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
-os.environ.setdefault('XLA_FLAGS',
-                      os.environ.get('XLA_FLAGS', '') + ' --xla_force_host_platform_device_count=8')
+# Deterministic CPU mesh for tests (override any ambient TPU platform); real TPU
+# runs use the driver's env.
+os.environ['JAX_PLATFORMS'] = 'cpu'
+os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
+                           + ' --xla_force_host_platform_device_count=8')
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
