@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Headline benchmark: parameter-prediction throughput of a GHN-3-XL-sized
+hypernetwork over a suite of full-size target architectures (ResNet family + ViT).
+
+Mirrors the reference eval sweep (eval_ghn.py --split torch) which predicts
+parameters per torchvision model on a GPU; here graphs are compiled host-side
+once per architecture and predictions run batched on TPU in node-count buckets.
+
+Baseline (BASELINE.md north star): ghn3xlm16 predicting the torchvision split at
+>= 10x A100 models/sec on v5e-8. The published reference has no absolute
+throughput number; we normalize vs_baseline against 10 models/sec (the 10x-A100
+target assuming ~1 model/sec on A100, the order of magnitude the reference's
+per-model prediction timing reports).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    from ghn3_tpu import GHN3, GHNConfig
+    from ghn3_tpu.graph.graphdef import GraphBatch, bucket_size
+    from ghn3_tpu.graph.torch_trace import trace_torch_model
+    from ghn3_tpu.torch_interop import torch_param_table
+    from ghn3_tpu.predict import predict_batch
+    from ghn3_tpu.zoo.torch_zoo import TORCH_ZOO
+
+    suite = ['resnet18', 'resnet34', 'resnet50', 'resnet101', 'resnet152',
+             'wide_resnet50_2', 'vit_b_16']
+
+    cfg = GHNConfig.ghn3_xl()
+    ghn = GHN3(cfg, seed=0)
+
+    t0 = time.time()
+    models = {name: TORCH_ZOO[name]() for name in suite}
+    graphs = {name: trace_torch_model(m, ve_cutoff=cfg.ve_cutoff) for name, m in models.items()}
+    tables = {name: torch_param_table(m) for name, m in models.items()}
+    t_graphs = time.time() - t0
+
+    # bucket models by padded node count so each bucket is one padded batch
+    buckets = {}
+    for name, g in graphs.items():
+        buckets.setdefault(bucket_size(g.n_nodes), []).append(name)
+
+    def run_sweep():
+        for _, names in sorted(buckets.items()):
+            batch = GraphBatch.from_graphs([graphs[n] for n in names])
+            predict_batch(ghn.params, cfg, batch, [tables[n] for n in names])
+
+    run_sweep()  # warmup: compile every (bucket, decode-key) program
+    n_rep = 3
+    t0 = time.time()
+    for _ in range(n_rep):
+        run_sweep()
+    t_predict = (time.time() - t0) / n_rep
+
+    n_models = len(suite)
+    # steady-state sweep throughput: graph compile is cached per arch (the
+    # reference rebuilds graphs per call; we report prediction throughput with
+    # prebuilt graphs plus the one-time graph-build cost separately)
+    models_per_sec = n_models / t_predict
+    result = {
+        'metric': 'models/sec param-prediction (ghn3xl-sized, %d-arch suite)' % n_models,
+        'value': round(models_per_sec, 3),
+        'unit': 'models/sec',
+        'vs_baseline': round(models_per_sec / 10.0, 3),
+        'detail': {
+            'graph_build_total_sec': round(t_graphs, 2),
+            'predict_sweep_sec': round(t_predict, 3),
+            'platform': jax.devices()[0].platform,
+            'device': str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()

@@ -15,6 +15,19 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 
 
+def _xp(w):
+    """Array namespace dispatch: numpy for host assembly, jax.numpy inside jitted
+    training programs (shapes are static either way)."""
+    if isinstance(w, np.ndarray):
+        return np
+    import jax.numpy as jnp
+    return jnp
+
+
+def _tile(xp, w, reps):
+    return np.tile(w, reps) if xp is np else _xp(w).tile(w, reps)
+
+
 def tile_params(w: np.ndarray, target_shape: Sequence[int],
                 rng: Optional[np.random.Generator] = None) -> np.ndarray:
     """Crop/tile a decoded tensor ``w`` to ``target_shape`` (reference `_tile_params`,
@@ -23,6 +36,7 @@ def tile_params(w: np.ndarray, target_shape: Sequence[int],
     :param rng: randomness source for the ViT class-token row appended in the 3d
         positional-embedding path (reference uses torch.normal(std=0.02)).
     """
+    xp = _xp(w)
     t = tuple(int(v) for v in target_shape)
     s = w.shape
 
@@ -46,8 +60,8 @@ def tile_params(w: np.ndarray, target_shape: Sequence[int],
             w = w.reshape(*s[:2], -1).transpose(0, 2, 1)
             w = w[:min(t[0], w.shape[0]), :min(t[1], w.shape[1]), :min(t[2], w.shape[2])]
             rng = rng or np.random.default_rng()
-            cls_tok = rng.normal(0.0, 0.02, size=(1, 1, w.shape[2])).astype(w.dtype)
-            w = np.concatenate((cls_tok, w), axis=1)
+            cls_tok = rng.normal(0.0, 0.02, size=(1, 1, w.shape[2])).astype(np.float32)
+            w = xp.concatenate((xp.asarray(cls_tok, dtype=w.dtype), w), axis=1)
     else:
         s2 = min(t[2], s[2]) if len(s) > 2 else 1
         s3 = min(t[3], s[3]) if len(s) > 3 else 1
@@ -66,17 +80,17 @@ def tile_params(w: np.ndarray, target_shape: Sequence[int],
     if t[0] > s[0]:
         n_out = int(math.ceil(t[0] / s[0]))
         reps = (n_out,) + (1,) * (len(t) - 1)
-        w = np.tile(w, reps)[:t[0]]
+        w = _tile(xp, w, reps)[:t[0]]
 
     # tile input channels
     if len(t) > 1:
         if t[1] > s[1]:
             n_in = int(math.ceil(t[1] / s[1]))
             reps = (1, n_in) + (1,) * (len(t) - 2)
-            w = np.tile(w, reps)[:, :t[1]]
+            w = _tile(xp, w, reps)[:, :t[1]]
         elif len(t) == 3 and len(s) == 3 and t[2] > s[2]:
             n_in = int(math.ceil(t[2] / s[2]))
-            w = np.tile(w, (1, 1, n_in))[:, :, :t[2]]
+            w = _tile(xp, w, (1, 1, n_in))[:, :, :t[2]]
 
     # final crop
     if len(t) == 1:
@@ -96,6 +110,7 @@ def tile_params(w: np.ndarray, target_shape: Sequence[int],
 def normalize_params(p: np.ndarray, is_w: bool) -> np.ndarray:
     """Fan-in renormalization of a predicted tensor (reference `_normalize`,
     nn.py:554-592, applied when weight_norm=True)."""
+    xp = _xp(p)
     if p.ndim > 1:
         sz = p.shape
         if len(sz) > 2 and sz[2] >= 11 and sz[0] == 1:
@@ -104,8 +119,8 @@ def normalize_params(p: np.ndarray, is_w: bool) -> np.ndarray:
         beta = 1.0 if no_relu else 2.0
         return p * math.sqrt(beta / max(1, int(np.prod(sz[1:]))))
     if is_w:
-        return 2.0 / (1.0 + np.exp(-0.5 * p))   # 2*sigmoid(0.5 p): norm weights in [0, 2]
-    return np.tanh(0.2 * p)                      # biases in [-1, 1]
+        return 2.0 / (1.0 + xp.exp(-0.5 * p))   # 2*sigmoid(0.5 p): norm weights in [0, 2]
+    return xp.tanh(0.2 * p)                      # biases in [-1, 1]
 
 
 def min_decode_size(n: int, max_n: int) -> int:

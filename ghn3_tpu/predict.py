@@ -2,10 +2,17 @@
 
 Pipeline (reference stack 3.1 in SURVEY.md, redesigned for TPU):
 
-  host:   match graph nodes to target params, build shape indices + decode groups
+  host:   match graph nodes to target params, build shape indices + a static
+          DecodePlan (groups keyed by canonical decode shape)
   device: graphormer forward over the padded batch (one XLA program per bucket),
           batched per-shape-key decode (one program per (key, group-bucket))
-  host:   tile/normalize each tensor to its exact target shape, hand to setters
+  host / in-trace: tile/normalize each tensor to its exact target shape
+
+Two execution modes share the same plan:
+  * eval mode (``predict_batch``): decoded groups are fetched to host and
+    assembled with numpy — cheap, and keeps torch interop simple.
+  * traced mode (``run_plan`` with jnp arrays): everything stays in-graph and
+    differentiable, used by the meta-training step.
 
 Decode-group gathers use per-graph slab offsets (b * N_pad + node), so batched
 prediction is identical to per-model prediction (see GraphBatch docstring for the
@@ -16,20 +23,21 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .config import GHNConfig
-from .graph.graphdef import GraphBatch, GraphDef
+from .graph.graphdef import GraphBatch
 from .models import ghn_core
 from .models.shape_encoder import tables_for
 from .ops.assembly import decode_key, normalize_params, tile_params
 
+
 # A target parameter record: shape, weight/bias flag, and a setter receiving the
-# final numpy tensor. Target frontends (torch interop, JAX functional nets) build
+# final tensor. Target frontends (torch interop, JAX functional nets) build
 # per-cell dicts of these — the equivalent of ppuda's named_layered_modules.
 @dataclasses.dataclass
 class TargetParam:
@@ -49,7 +57,7 @@ class GroupItem:
 
 
 @dataclasses.dataclass
-class Mapping:
+class DecodePlan:
     groups: Dict[Tuple[int, ...], List[GroupItem]]
     shape_ind: np.ndarray         # (B, N_pad, 4) int32
     n_unmatched: int
@@ -64,8 +72,8 @@ def _candidate_names(p_name: str) -> List[str]:
 _UNMATCHED_OK = ('input', 'sum', 'concat', 'pool', 'glob_avg', 'msa', 'cse')
 
 
-def map_net_params(batch: GraphBatch, tables: Sequence[TargetTable], cfg: GHNConfig,
-                   reduce_graph: bool = False, sanity_check: bool = False) -> Mapping:
+def build_plan(batch: GraphBatch, tables: Sequence[TargetTable], cfg: GHNConfig,
+               reduce_graph: bool = False, sanity_check: bool = False) -> DecodePlan:
     """Match graph nodes to target parameters (reference `_map_net_params`,
     nn.py:594-692) and build the shape-encoder index array."""
     shape_tables = tables_for(cfg)
@@ -105,7 +113,7 @@ def map_net_params(batch: GraphBatch, tables: Sequence[TargetTable], cfg: GHNCon
                     GroupItem(flat_idx=base + row.node_ind, record=matched, target_sz=sz))
                 if reduce_graph:
                     del cell_table[matched_name]
-    return Mapping(groups=groups, shape_ind=shape_ind, n_unmatched=n_unmatched)
+    return DecodePlan(groups=groups, shape_ind=shape_ind, n_unmatched=n_unmatched)
 
 
 # ---------------------------------------------------------------------------
@@ -126,17 +134,20 @@ def _forward_fn(cfg: GHNConfig):
     return jax.jit(fwd)
 
 
+def forward_embeddings(params, cfg: GHNConfig, batch: GraphBatch,
+                       shape_ind: np.ndarray) -> jnp.ndarray:
+    """(B*N_pad, hid) node embeddings after the graphormer stack (jitted)."""
+    return _forward_fn(cfg)(params, jnp.asarray(batch.node_op), jnp.asarray(batch.adj),
+                            jnp.asarray(shape_ind), jnp.asarray(batch.mask))
+
+
 def _group_bucket(g: int) -> int:
     return 1 << max(0, int(np.ceil(np.log2(max(1, g)))))
 
 
-@functools.lru_cache(maxsize=None)
-def _decode_fn(cfg: GHNConfig, key: Tuple[int, ...]):
-    def run(params, x_g):
-        with jax.default_matmul_precision(_precision(cfg)):
-            return _decode(params, x_g)
-
-    def _decode(params, x_g):
+def decode_group(params, cfg: GHNConfig, key: Tuple[int, ...], x_g):
+    """Decode one shape-key group (traceable)."""
+    with jax.default_matmul_precision(_precision(cfg)):
         if len(key) == 2 and key[1] > 0:      # classification weight
             return ghn_core.decode_conv(params, cfg, x_g, (key[0], key[1], 1, 1), class_pred=True)
         if len(key) == 2 and key[1] < 0:      # classification bias
@@ -147,19 +158,60 @@ def _decode_fn(cfg: GHNConfig, key: Tuple[int, ...]):
         if len(key) == 3:                     # 3d (e.g. layer_scale)
             return ghn_core.decode_1d(params, x_g).reshape(x_g.shape[0], -1, 1, 1)
         return ghn_core.decode_conv(params, cfg, x_g, key, class_pred=False)
-    return jax.jit(run)
 
 
 @functools.lru_cache(maxsize=None)
-def _gather_fn(cfg: GHNConfig):
-    def run(x_flat, inds):
-        return jnp.take(x_flat, inds, axis=0)
-    return jax.jit(run)
+def _decode_fn(cfg: GHNConfig, key: Tuple[int, ...]):
+    return jax.jit(functools.partial(decode_group, cfg=cfg, key=key))
 
 
-# ---------------------------------------------------------------------------
-# Orchestration
-# ---------------------------------------------------------------------------
+def _assemble_item(item: GroupItem, w_node, weight_norm: bool,
+                   rng: Optional[np.random.Generator]) -> None:
+    """Tile/normalize one node's decoded tensor(s) and hand them to the setter."""
+    sz = item.target_sz
+    n_iter = 2 if (len(sz) == 1 and item.record.is_w) else 1
+    for it in range(n_iter):
+        if len(sz) == 1:
+            # norm weight/bias channel pair: row 0 = weight, row 1 = bias
+            w_ = w_node[1 - int(item.record.is_w) + it]
+        else:
+            w_ = w_node
+        tiled = tile_params(w_, sz, rng=rng)
+        is_w = bool(item.record.is_w) and it == 0
+        if weight_norm:
+            tiled = normalize_params(tiled, is_w)
+        if isinstance(tiled, np.ndarray):
+            tiled = np.ascontiguousarray(tiled)
+        item.record.set_fn(tiled, is_w)
+
+
+def run_plan(params, cfg: GHNConfig, x_flat, plan: DecodePlan,
+             predict_class_layers: bool = True,
+             weight_norm: Optional[bool] = None,
+             rng: Optional[np.random.Generator] = None,
+             traced: bool = False) -> None:
+    """Decode every group in the plan and assign tensors through the setters.
+
+    :param traced: keep everything as jnp (differentiable, for the training step);
+        otherwise groups are fetched to host and assembled with numpy.
+    """
+    weight_norm = cfg.weight_norm if weight_norm is None else weight_norm
+    for key, items in plan.groups.items():
+        is_cls = len(key) == 2 and key[1] != 0
+        if is_cls and not predict_class_layers:
+            continue
+        g = len(items)
+        g_pad = _group_bucket(g)
+        inds = np.zeros((g_pad,), dtype=np.int32)
+        inds[:g] = [it.flat_idx for it in items]
+        x_g = jnp.take(x_flat, jnp.asarray(inds), axis=0)
+        if traced:
+            decoded = decode_group(params, cfg, key, x_g)[:g]
+        else:
+            decoded = np.asarray(jax.device_get(_decode_fn(cfg, key)(params, x_g=x_g)))[:g]
+        for w_ind, item in enumerate(items):
+            _assemble_item(item, decoded[w_ind], weight_norm, rng)
+
 
 def predict_batch(params: Dict[str, jnp.ndarray], cfg: GHNConfig, batch: GraphBatch,
                   tables: Sequence[TargetTable],
@@ -167,44 +219,11 @@ def predict_batch(params: Dict[str, jnp.ndarray], cfg: GHNConfig, batch: GraphBa
                   weight_norm: Optional[bool] = None,
                   reduce_graph: bool = False,
                   sanity_check: bool = False,
-                  rng: Optional[np.random.Generator] = None) -> Mapping:
-    """Predict and assign parameters for every target in the batch.
-
-    Assignment happens through each TargetParam's ``set_fn``; the function returns
-    the Mapping for introspection/debugging.
-    """
-    weight_norm = cfg.weight_norm if weight_norm is None else weight_norm
-    mapping = map_net_params(batch, tables, cfg, reduce_graph=reduce_graph,
-                             sanity_check=sanity_check)
-
-    x_flat = _forward_fn(cfg)(params, jnp.asarray(batch.node_op), jnp.asarray(batch.adj),
-                              jnp.asarray(mapping.shape_ind), jnp.asarray(batch.mask))
-
-    for key, items in mapping.groups.items():
-        g = len(items)
-        g_pad = _group_bucket(g)
-        inds = np.zeros((g_pad,), dtype=np.int32)
-        inds[:g] = [it.flat_idx for it in items]
-        x_g = _gather_fn(cfg)(x_flat, jnp.asarray(inds))
-        decoded = np.asarray(jax.device_get(_decode_fn(cfg, key)(params, x_g)))[:g]
-
-        is_cls = len(key) == 2 and key[1] != 0
-        if is_cls and not predict_class_layers:
-            continue
-
-        for w_ind, item in enumerate(items):
-            sz = item.target_sz
-            w_node = decoded[w_ind]
-            n_iter = 2 if (len(sz) == 1 and item.record.is_w) else 1
-            for it in range(n_iter):
-                if len(sz) == 1:
-                    # norm weight/bias channel pair: row 0 = weight, row 1 = bias
-                    w_ = w_node[1 - int(item.record.is_w) + it]
-                else:
-                    w_ = w_node
-                tiled = tile_params(w_, sz, rng=rng)
-                is_w = bool(item.record.is_w) and it == 0
-                if weight_norm:
-                    tiled = normalize_params(tiled, is_w)
-                item.record.set_fn(np.ascontiguousarray(tiled), is_w)
-    return mapping
+                  rng: Optional[np.random.Generator] = None) -> DecodePlan:
+    """Predict and assign parameters for every target in the batch (eval mode)."""
+    plan = build_plan(batch, tables, cfg, reduce_graph=reduce_graph,
+                      sanity_check=sanity_check)
+    x_flat = forward_embeddings(params, cfg, batch, plan.shape_ind)
+    run_plan(params, cfg, x_flat, plan, predict_class_layers=predict_class_layers,
+             weight_norm=weight_norm, rng=rng)
+    return plan
