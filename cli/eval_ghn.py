@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""GHN evaluation sweep: predict parameters for a suite of architectures, check
+parameter norms against published metadata, and measure top-1/top-5 with the
+running-stat-free BN protocol (reference eval_ghn.py, SURVEY §3.4).
+
+Examples:
+  python cli/eval_ghn.py --ckpt ghn3tm8.npz --split torch -d synthetic
+  python cli/eval_ghn.py --ckpt ghn3xlm16.npz --split torch -d imagenet -D /data/imagenet
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from ghn3_tpu import GHN3
+from ghn3_tpu.data.images import image_loader
+from ghn3_tpu.evaluate import predict_and_eval_suite
+from ghn3_tpu.utils.config import init_config
+from ghn3_tpu.utils.logging import log
+
+
+def torch_suite(args, ghn):
+    """(graph builder, functional twin) pairs for the torch-zoo architectures."""
+    from ghn3_tpu.graph.torch_trace import trace_torch_model
+    from ghn3_tpu.zoo.jax_zoo import JAX_ZOO
+    from ghn3_tpu.zoo.torch_zoo import TORCH_ZOO
+    suite = {}
+    cutoff = ghn.config.ve_cutoff if ghn.config.ve else 1
+    for name in JAX_ZOO:
+        if args.arch not in (None, 'all') and args.arch != name and args.split == 'torch':
+            if args.arch in JAX_ZOO and name != args.arch:
+                continue
+        tm = TORCH_ZOO[name](num_classes=args.num_classes)
+        suite[name] = (lambda tm=tm: trace_torch_model(tm, ve_cutoff=cutoff),
+                       JAX_ZOO[name](num_classes=args.num_classes))
+    return suite
+
+
+def deepnets_suite(args, ghn):
+    from ghn3_tpu.data.deepnets1m import DeepNets1M
+    ds = DeepNets1M(split=args.split, nets_dir=args.nets_dir,
+                    virtual_edges=args.virtual_edges,
+                    num_nets=args.num_nets or 10,
+                    large_images=args.dataset == 'imagenet')
+    from ghn3_tpu.nets.darts import Network
+    suite = {}
+    for i in range(len(ds)):
+        g = ds[i]
+        net = Network(is_imagenet_input=args.dataset == 'imagenet',
+                      num_classes=args.num_classes, **g.net_args)
+        suite[f'{args.split}_{i}'] = (g, net)
+    return suite
+
+
+def main():
+    args = init_config('eval')
+    assert args.ckpt, '--ckpt is required'
+    ghn = GHN3.from_pretrained(args.ckpt)
+    log(f'loaded GHN with {ghn.num_params()} params: {ghn.config}')
+
+    if args.split == 'torch':
+        suite = torch_suite(args, ghn)
+    else:
+        suite = deepnets_suite(args, ghn)
+
+    data = None
+    try:
+        data = image_loader(args.dataset, args.data_dir, imsize=args.imsize, split='val')
+    except (FileNotFoundError, NotImplementedError) as e:
+        log(f'no eval data available ({e}); running norm checks only')
+
+    meta_name = None
+    if args.ckpt.find('xlm16') >= 0:
+        meta_name = 'ghn3xlm16.pt'
+    elif args.ckpt.find('tm8') >= 0:
+        meta_name = 'ghn3tm8.pt'
+
+    results = predict_and_eval_suite(ghn, suite, data=data,
+                                     batch_size=args.val_batch_size,
+                                     metadata_name=meta_name)
+    if 'top1' in results[0]:
+        top1 = [r['top1'] for r in results]
+        log(f'\navg top1: {np.mean(top1):.2f} +- {np.std(top1):.2f} over {len(top1)} archs')
+    if args.save_dir:
+        out = os.path.join(args.save_dir, 'eval_results.json')
+        with open(out, 'w') as f:
+            json.dump(results, f, indent=1)
+        log(f'wrote {out}')
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,176 @@
+"""Image data pipeline: CIFAR-10 / ImageNet-folder / synthetic loaders.
+
+Replaces the ppuda `image_loader` surface (SURVEY §2.9) without torchvision:
+CIFAR-10 reads the binary batches directly, ImageNet walks class folders with
+PIL, and the synthetic source generates deterministic batches for tests and
+dry-runs. Batches are numpy NCHW float32, normalized with the standard
+ImageNet/CIFAR statistics (reference transforms_imagenet, utils.py:99-142).
+Augmentation: random resized crop + horizontal flip for training; resize(256) +
+center-crop(224) for ImageNet eval.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import tarfile
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+CIFAR_MEAN = np.array([0.49139968, 0.48215827, 0.44653124], dtype=np.float32)
+CIFAR_STD = np.array([0.24703233, 0.24348505, 0.26158768], dtype=np.float32)
+
+
+def _normalize(x: np.ndarray, mean, std) -> np.ndarray:
+    return (x - mean[None, :, None, None]) / std[None, :, None, None]
+
+
+class DataSource:
+    num_examples: int
+    num_classes: int
+
+    def batches(self, batch_size: int, train: bool, seed: int = 0,
+                shard: int = 0, num_shards: int = 1) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        raise NotImplementedError
+
+
+class SyntheticImages(DataSource):
+    """Deterministic random images; for tests, dry runs, and throughput benches."""
+
+    def __init__(self, num_examples=1024, num_classes=10, imsize=32):
+        self.num_examples = num_examples
+        self.num_classes = num_classes
+        self.imsize = imsize
+
+    def batches(self, batch_size, train=True, seed=0, shard=0, num_shards=1):
+        rng = np.random.default_rng(seed + shard)
+        n = self.num_examples // num_shards
+        for _ in range(max(1, n // batch_size)):
+            x = rng.normal(size=(batch_size, 3, self.imsize, self.imsize)).astype(np.float32)
+            y = rng.integers(0, self.num_classes, size=(batch_size,))
+            yield x, y
+
+
+class Cifar10(DataSource):
+    """CIFAR-10 from the python-format binary batches (cifar-10-batches-py)."""
+
+    def __init__(self, data_dir: str, train: bool = True):
+        root = os.path.join(data_dir, 'cifar-10-batches-py')
+        if not os.path.isdir(root):
+            archive = os.path.join(data_dir, 'cifar-10-python.tar.gz')
+            if os.path.exists(archive):
+                with tarfile.open(archive) as tf:
+                    tf.extractall(data_dir)
+        files = ['data_batch_%d' % i for i in range(1, 6)] if train else ['test_batch']
+        xs, ys = [], []
+        for fname in files:
+            with open(os.path.join(root, fname), 'rb') as f:
+                d = pickle.load(f, encoding='bytes')
+            xs.append(d[b'data'].reshape(-1, 3, 32, 32))
+            ys.append(np.array(d[b'labels']))
+        self.x = (np.concatenate(xs).astype(np.float32) / 255.0)
+        self.y = np.concatenate(ys).astype(np.int64)
+        self.x = _normalize(self.x, CIFAR_MEAN, CIFAR_STD)
+        self.train = train
+        self.num_examples = len(self.x)
+        self.num_classes = 10
+
+    def batches(self, batch_size, train=None, seed=0, shard=0, num_shards=1):
+        train = self.train if train is None else train
+        idx = np.arange(self.num_examples)[shard::num_shards]
+        rng = np.random.default_rng(seed)
+        if train:
+            rng.shuffle(idx)
+        for i in range(0, len(idx) - batch_size + 1, batch_size):
+            sel = idx[i:i + batch_size]
+            x = self.x[sel]
+            if train:
+                # pad-4 random crop + horizontal flip
+                pad = np.pad(x, ((0, 0), (0, 0), (4, 4), (4, 4)), mode='reflect')
+                out = np.empty_like(x)
+                for j in range(len(sel)):
+                    dy, dx = rng.integers(0, 9, size=2)
+                    img = pad[j, :, dy:dy + 32, dx:dx + 32]
+                    if rng.random() < 0.5:
+                        img = img[:, :, ::-1]
+                    out[j] = img
+                x = out
+            yield np.ascontiguousarray(x), self.y[sel]
+
+
+class ImageFolder(DataSource):
+    """ImageNet-style class-folder dataset via PIL (train/ and val/ layouts)."""
+
+    def __init__(self, data_dir: str, split: str = 'train', imsize: int = 224):
+        self.root = os.path.join(data_dir, split)
+        if not os.path.isdir(self.root):
+            raise FileNotFoundError(self.root)
+        classes = sorted(d for d in os.listdir(self.root)
+                         if os.path.isdir(os.path.join(self.root, d)))
+        self.class_index = {c: i for i, c in enumerate(classes)}
+        self.samples: List[Tuple[str, int]] = []
+        for c in classes:
+            cdir = os.path.join(self.root, c)
+            for fname in sorted(os.listdir(cdir)):
+                self.samples.append((os.path.join(cdir, fname), self.class_index[c]))
+        self.imsize = imsize
+        self.train = split == 'train'
+        self.num_examples = len(self.samples)
+        self.num_classes = len(classes)
+
+    def _load(self, path: str, rng: Optional[np.random.Generator]) -> np.ndarray:
+        from PIL import Image
+        img = Image.open(path).convert('RGB')
+        s = self.imsize
+        if rng is not None:  # train: random resized crop + flip
+            w, h = img.size
+            for _ in range(10):
+                area = w * h * rng.uniform(0.08, 1.0)
+                ratio = float(np.exp(rng.uniform(np.log(3 / 4), np.log(4 / 3))))
+                cw = int(round(np.sqrt(area * ratio)))
+                ch = int(round(np.sqrt(area / ratio)))
+                if cw <= w and ch <= h:
+                    x0 = int(rng.integers(0, w - cw + 1))
+                    y0 = int(rng.integers(0, h - ch + 1))
+                    img = img.crop((x0, y0, x0 + cw, y0 + ch))
+                    break
+            img = img.resize((s, s), Image.BILINEAR)
+            if rng.random() < 0.5:
+                img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        else:  # eval: resize shorter side to max(s, 256)/0.875-ish then center crop
+            w, h = img.size
+            short = max(s, 256) if s >= 224 else s
+            scale = short / min(w, h)
+            img = img.resize((round(w * scale), round(h * scale)), Image.BILINEAR)
+            w, h = img.size
+            x0, y0 = (w - s) // 2, (h - s) // 2
+            img = img.crop((x0, y0, x0 + s, y0 + s))
+        arr = np.asarray(img, dtype=np.float32).transpose(2, 0, 1) / 255.0
+        return arr
+
+    def batches(self, batch_size, train=None, seed=0, shard=0, num_shards=1):
+        train = self.train if train is None else train
+        idx = np.arange(self.num_examples)[shard::num_shards]
+        rng = np.random.default_rng(seed)
+        if train:
+            rng.shuffle(idx)
+        for i in range(0, len(idx) - batch_size + 1, batch_size):
+            sel = idx[i:i + batch_size]
+            xs = np.stack([self._load(self.samples[j][0], rng if train else None)
+                           for j in sel])
+            ys = np.array([self.samples[j][1] for j in sel], dtype=np.int64)
+            yield _normalize(xs, IMAGENET_MEAN, IMAGENET_STD), ys
+
+
+def image_loader(dataset: str, data_dir: str, imsize: int = 224,
+                 split: str = 'train') -> DataSource:
+    if dataset == 'synthetic':
+        return SyntheticImages(imsize=imsize)
+    if dataset == 'cifar10':
+        return Cifar10(data_dir, train=split == 'train')
+    if dataset == 'imagenet':
+        return ImageFolder(data_dir, split=split, imsize=imsize)
+    raise NotImplementedError(dataset)

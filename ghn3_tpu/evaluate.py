@@ -1,0 +1,85 @@
+"""Evaluation loops: top-1/top-5 inference for functional nets, and the GHN
+prediction sweep over architecture suites (reference eval_ghn.py / ppuda infer,
+SURVEY §3.4)."""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .utils.logging import log
+
+
+def infer(model, params: Dict, data, batch_size: int = 64, max_batches: Optional[int] = None,
+          seed: int = 0) -> Tuple[float, float]:
+    """Top-1/top-5 accuracy of a functional net over a DataSource (eval split)."""
+    fwd = jax.jit(lambda p, x: model(p, x, training=False))
+    top1 = top5 = n = 0
+    for bi, (images, labels) in enumerate(data.batches(batch_size, train=False, seed=seed)):
+        logits = np.asarray(fwd(params, jnp.asarray(images)))
+        top = np.argsort(logits, axis=-1)[:, ::-1][:, :5]
+        hits = top == labels[:, None]
+        top1 += int(hits[:, :1].any(1).sum())
+        top5 += int(hits.any(1).sum())
+        n += len(labels)
+        if max_batches is not None and bi + 1 >= max_batches:
+            break
+    return 100.0 * top1 / max(1, n), 100.0 * top5 / max(1, n)
+
+
+def predict_and_eval_suite(ghn, suite: Dict[str, tuple], data=None, batch_size: int = 64,
+                           max_batches: Optional[int] = None, norm_tol: float = 1e-2,
+                           metadata_name: Optional[str] = None) -> List[dict]:
+    """Predict parameters for a suite of (torch graph source, functional twin)
+    pairs, run norm checks and optionally top-1/top-5 eval.
+
+    :param suite: {arch: (graph_def_or_builder, functional_net)}
+    """
+    from .graph.graphdef import GraphBatch, bucket_size
+    from .predict import predict_batch
+
+    # bucket architectures by node count -> batched prediction per bucket
+    graphs = {}
+    for name, (graph, net) in suite.items():
+        graphs[name] = graph() if callable(graph) else graph
+    buckets: Dict[int, List[str]] = {}
+    for name, g in graphs.items():
+        buckets.setdefault(bucket_size(g.n_nodes), []).append(name)
+
+    results = []
+    for _, names in sorted(buckets.items()):
+        batch = GraphBatch.from_graphs([graphs[n] for n in names])
+        tables = [suite[n][1].param_table() for n in names]
+        t0 = time.time()
+        predict_batch(ghn.params, ghn.config, batch, tables)
+        t_predict = time.time() - t0
+        for name in names:
+            net = suite[name][1]
+            row = {'arch': name, 'n_nodes': graphs[name].n_nodes,
+                   'predict_sec': t_predict / len(names),
+                   'n_tensors': len(net.predicted)}
+            norms = [float(np.linalg.norm(np.asarray(p).ravel()))
+                     for p in net.predicted.values()]
+            row['paramnorm'] = float(np.linalg.norm(norms))
+            if metadata_name is not None:
+                from .metadata import get_metadata
+                expected = None
+                try:
+                    expected = get_metadata(metadata_name, arch=name, attr='paramnorm')
+                except KeyError:
+                    pass
+                row['paramnorm_expected'] = expected
+                row['norm_check'] = (expected is not None and
+                                     abs(expected - row['paramnorm']) < norm_tol)
+            if data is not None:
+                top1, top5 = infer(net, net.predicted, data, batch_size=batch_size,
+                                   max_batches=max_batches)
+                row['top1'], row['top5'] = top1, top5
+            results.append(row)
+            log(' | '.join(f'{k}={v}' for k, v in row.items()))
+    return results

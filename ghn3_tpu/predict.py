@@ -161,8 +161,14 @@ def decode_group(params, cfg: GHNConfig, key: Tuple[int, ...], x_g):
 
 
 @functools.lru_cache(maxsize=None)
-def _decode_fn(cfg: GHNConfig, key: Tuple[int, ...]):
-    return jax.jit(functools.partial(decode_group, cfg=cfg, key=key))
+def _decode_all_fn(cfg: GHNConfig, keys: Tuple[Tuple[int, ...], ...]):
+    """One fused program decoding every shape-key group of a plan: a single XLA
+    compile per plan signature instead of one per key (compile latency dominates
+    sweep startup on TPU)."""
+    def run(params, x_groups):
+        return tuple(decode_group(params, cfg, key, x_g)
+                     for key, x_g in zip(keys, x_groups))
+    return jax.jit(run)
 
 
 def _assemble_item(item: GroupItem, w_node, weight_norm: bool,
@@ -196,19 +202,31 @@ def run_plan(params, cfg: GHNConfig, x_flat, plan: DecodePlan,
         otherwise groups are fetched to host and assembled with numpy.
     """
     weight_norm = cfg.weight_norm if weight_norm is None else weight_norm
+    active = []
     for key, items in plan.groups.items():
         is_cls = len(key) == 2 and key[1] != 0
         if is_cls and not predict_class_layers:
             continue
+        active.append((key, items))
+    if not active:
+        return
+
+    x_groups = []
+    for key, items in active:
         g = len(items)
-        g_pad = _group_bucket(g)
-        inds = np.zeros((g_pad,), dtype=np.int32)
+        inds = np.zeros((_group_bucket(g),), dtype=np.int32)
         inds[:g] = [it.flat_idx for it in items]
-        x_g = jnp.take(x_flat, jnp.asarray(inds), axis=0)
-        if traced:
-            decoded = decode_group(params, cfg, key, x_g)[:g]
-        else:
-            decoded = np.asarray(jax.device_get(_decode_fn(cfg, key)(params, x_g=x_g)))[:g]
+        x_groups.append(jnp.take(x_flat, jnp.asarray(inds), axis=0))
+
+    if traced:
+        decoded_all = [decode_group(params, cfg, key, x_g)
+                       for (key, _), x_g in zip(active, x_groups)]
+    else:
+        keys = tuple(key for key, _ in active)
+        decoded_all = _decode_all_fn(cfg, keys)(params, tuple(x_groups))
+        decoded_all = [np.asarray(d) for d in jax.device_get(decoded_all)]
+
+    for (key, items), decoded in zip(active, decoded_all):
         for w_ind, item in enumerate(items):
             _assemble_item(item, decoded[w_ind], weight_norm, rng)
 

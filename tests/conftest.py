@@ -2,10 +2,17 @@ import os
 import sys
 
 # Deterministic CPU mesh for tests (override any ambient TPU platform); real TPU
-# runs use the driver's env.
+# runs use the driver's env. The environment's sitecustomize registers the TPU
+# plugin at interpreter start, so the env var alone is not enough — force the
+# platform through jax.config too.
 os.environ['JAX_PLATFORMS'] = 'cpu'
 os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
                            + ' --xla_force_host_platform_device_count=8')
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_default_matmul_precision', 'highest')
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
