@@ -365,9 +365,9 @@ def _fix_swin_edges(model, nodes: List[_Node], A: np.ndarray) -> None:
 def get_cell_ind(param_name: str, layers: int = 1) -> Optional[int]:
     """Parse the cell index from a parameter name (ppuda surface, SURVEY §2.9)."""
     if param_name.find('cells.') >= 0:
-        pos1 = len('cells.')
-        pos2 = pos1 + param_name[pos1:].find('.')
-        return int(param_name[pos1:pos2])
+        sub = param_name[param_name.find('cells.') + len('cells.'):]
+        p = sub.find('.')
+        return int(sub if p == -1 else sub[:p])
     if param_name.startswith('classifier') or param_name.startswith('auxiliary'):
         return layers - 1
     if layers == 1 or param_name.startswith('stem') or param_name.startswith('pos_enc'):

@@ -5,9 +5,9 @@ import torch.nn as nn
 
 def get_cell_ind(param_name, layers=1):
     if param_name.find('cells.') >= 0:
-        pos1 = len('cells.')
-        pos2 = pos1 + param_name[pos1:].find('.')
-        cell_ind = int(param_name[pos1:pos2])
+        sub = param_name[len('cells.'):]
+        p = sub.find('.')
+        cell_ind = int(sub if p == -1 else sub[:p])
     elif param_name.startswith('classifier') or param_name.startswith('auxiliary'):
         cell_ind = layers - 1
     elif layers == 1 or param_name.startswith('stem') or param_name.startswith('pos_enc'):
