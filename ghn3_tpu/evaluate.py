@@ -56,16 +56,17 @@ def predict_and_eval_suite(ghn, suite: Dict[str, tuple], data=None, batch_size: 
         batch = GraphBatch.from_graphs([graphs[n] for n in names])
         tables = [suite[n][1].param_table() for n in names]
         t0 = time.time()
-        predict_batch(ghn.params, ghn.config, batch, tables)
+        predict_batch(ghn.params, ghn.config, batch, tables, to_host=False)
         t_predict = time.time() - t0
         for name in names:
             net = suite[name][1]
             row = {'arch': name, 'n_nodes': graphs[name].n_nodes,
                    'predict_sec': t_predict / len(names),
                    'n_tensors': len(net.predicted)}
-            norms = [float(np.linalg.norm(np.asarray(p).ravel()))
-                     for p in net.predicted.values()]
-            row['paramnorm'] = float(np.linalg.norm(norms))
+            # one batched device fetch per net for the norm check
+            host = jax.device_get(list(net.predicted.values()))
+            row['paramnorm'] = float(np.linalg.norm(
+                [np.linalg.norm(np.asarray(p).ravel()) for p in host]))
             if metadata_name is not None:
                 from .metadata import get_metadata
                 expected = None

@@ -69,9 +69,19 @@ def dag_all_pairs_shortest_paths(adj: np.ndarray, cutoff: int = 50,
 def add_virtual_edges(adj: np.ndarray, cutoff: int = 50) -> np.ndarray:
     """Augment a binary DAG adjacency with virtual edges: entry (i, j) becomes the
     shortest path length i -> j for all pairs within ``cutoff`` (reference semantics:
-    graph.py:791-797 — existing 1-hop edges keep value 1)."""
+    graph.py:791-797 — existing 1-hop edges keep value 1).
+
+    Uses the native C++ BFS kernel when available (ghn3_tpu/native), falling back
+    to the vectorized numpy DP."""
     if cutoff <= 1:
         return adj.astype(np.int32)
+    try:
+        from .. import native
+        out = native.add_virtual_edges(adj, cutoff)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     dist = dag_all_pairs_shortest_paths(adj, cutoff=cutoff)
     out = adj.astype(np.int32).copy()
     fill = (out == 0) & (dist > 0)

@@ -107,9 +107,12 @@ class GHN3:
 
         batch = graphs if isinstance(graphs, GraphBatch) else GraphBatch.from_graphs(graph_list)
         tables = [_target_table(net) for net in nets_list]
+        # torch targets need host tensors; pure-functional targets keep them on device
+        to_host = any(hasattr(net, 'named_modules') for net in nets_list)
         predict_batch(self.params, self.config, batch, tables,
                       predict_class_layers=predict_class_layers,
-                      reduce_graph=reduce_graph, sanity_check=sanity_check, rng=rng)
+                      reduce_graph=reduce_graph, sanity_check=sanity_check, rng=rng,
+                      to_host=to_host)
 
         if not bn_track_running_stats:
             from .torch_interop import set_bn_eval_without_stats

@@ -171,6 +171,42 @@ def _decode_all_fn(cfg: GHNConfig, keys: Tuple[Tuple[int, ...], ...]):
     return jax.jit(run)
 
 
+def _assemble_group_traced(cfg: GHNConfig, key, decoded, items_sig, weight_norm: bool):
+    """Tile/normalize every item of one decoded group (traceable, static shapes)."""
+    outs = []
+    for w_ind, (target_sz, is_w) in enumerate(items_sig):
+        w_node = decoded[w_ind]
+        n_iter = 2 if (len(target_sz) == 1 and is_w) else 1
+        for it in range(n_iter):
+            w_ = w_node[1 - int(is_w) + it] if len(target_sz) == 1 else w_node
+            tiled = tile_params(w_, target_sz)
+            w_flag = bool(is_w) and it == 0
+            if weight_norm:
+                tiled = normalize_params(tiled, w_flag)
+            outs.append(tiled)
+    return outs
+
+
+@functools.lru_cache(maxsize=None)
+def _assemble_all_fn(cfg: GHNConfig, signature, weight_norm: bool):
+    """The full device-side assembly program: gather group embeddings, decode,
+    tile to target shapes and fan-in-normalize — one XLA program per plan
+    signature. Output tensors stay on device (zero host work per tensor).
+
+    ``signature`` = tuple of (key, ((target_sz, is_w), ...)) per group.
+    """
+    def run(params, x_flat, inds_groups):
+        with jax.default_matmul_precision(_precision(cfg)):
+            outs = []
+            for (key, items_sig), inds in zip(signature, inds_groups):
+                x_g = jnp.take(x_flat, inds, axis=0)
+                decoded = decode_group(params, cfg, key, x_g)
+                outs.extend(_assemble_group_traced(cfg, key, decoded, items_sig,
+                                                   weight_norm))
+            return tuple(outs)
+    return jax.jit(run)
+
+
 def _assemble_item(item: GroupItem, w_node, weight_norm: bool,
                    rng: Optional[np.random.Generator]) -> None:
     """Tile/normalize one node's decoded tensor(s) and hand them to the setter."""
@@ -195,11 +231,15 @@ def run_plan(params, cfg: GHNConfig, x_flat, plan: DecodePlan,
              predict_class_layers: bool = True,
              weight_norm: Optional[bool] = None,
              rng: Optional[np.random.Generator] = None,
-             traced: bool = False) -> None:
+             traced: bool = False,
+             to_host: bool = True) -> None:
     """Decode every group in the plan and assign tensors through the setters.
 
-    :param traced: keep everything as jnp (differentiable, for the training step);
-        otherwise groups are fetched to host and assembled with numpy.
+    :param traced: inline the ops into an enclosing trace (differentiable, for
+        the training step) instead of calling the cached fused program.
+    :param to_host: fetch the assembled tensors to host numpy in one batched
+        transfer (required for torch targets); False keeps them on device for
+        functional JAX targets.
     """
     weight_norm = cfg.weight_norm if weight_norm is None else weight_norm
     active = []
@@ -211,24 +251,44 @@ def run_plan(params, cfg: GHNConfig, x_flat, plan: DecodePlan,
     if not active:
         return
 
-    x_groups = []
+    if traced:
+        # inside an outer trace (training step): keep everything inline
+        for key, items in active:
+            g = len(items)
+            inds = np.zeros((_group_bucket(g),), dtype=np.int32)
+            inds[:g] = [it.flat_idx for it in items]
+            x_g = jnp.take(x_flat, jnp.asarray(inds), axis=0)
+            decoded = decode_group(params, cfg, key, x_g)
+            for w_ind, item in enumerate(items):
+                _assemble_item(item, decoded[w_ind], weight_norm, rng)
+        return
+
+    # eval: one fused XLA program per plan signature does gather + decode +
+    # tile + normalize; tensors are only fetched to host for host-side targets
+    signature = tuple(
+        (key, tuple((tuple(it.target_sz), bool(it.record.is_w)) for it in items))
+        for key, items in active)
+    inds_groups = []
     for key, items in active:
         g = len(items)
         inds = np.zeros((_group_bucket(g),), dtype=np.int32)
         inds[:g] = [it.flat_idx for it in items]
-        x_groups.append(jnp.take(x_flat, jnp.asarray(inds), axis=0))
+        inds_groups.append(jnp.asarray(inds))
+    outs = _assemble_all_fn(cfg, signature, weight_norm)(params, x_flat,
+                                                         tuple(inds_groups))
 
-    if traced:
-        decoded_all = [decode_group(params, cfg, key, x_g)
-                       for (key, _), x_g in zip(active, x_groups)]
-    else:
-        keys = tuple(key for key, _ in active)
-        decoded_all = _decode_all_fn(cfg, keys)(params, tuple(x_groups))
-        decoded_all = [np.asarray(d) for d in jax.device_get(decoded_all)]
+    if to_host:
+        outs = [np.asarray(o) for o in jax.device_get(outs)]  # one batched fetch
 
-    for (key, items), decoded in zip(active, decoded_all):
-        for w_ind, item in enumerate(items):
-            _assemble_item(item, decoded[w_ind], weight_norm, rng)
+    pos = 0
+    for key, items in active:
+        for item in items:
+            sz = item.target_sz
+            n_iter = 2 if (len(sz) == 1 and item.record.is_w) else 1
+            for it in range(n_iter):
+                item.record.set_fn(outs[pos], bool(item.record.is_w) and it == 0)
+                pos += 1
+    assert pos == len(outs)
 
 
 def predict_batch(params: Dict[str, jnp.ndarray], cfg: GHNConfig, batch: GraphBatch,
@@ -237,11 +297,12 @@ def predict_batch(params: Dict[str, jnp.ndarray], cfg: GHNConfig, batch: GraphBa
                   weight_norm: Optional[bool] = None,
                   reduce_graph: bool = False,
                   sanity_check: bool = False,
-                  rng: Optional[np.random.Generator] = None) -> DecodePlan:
+                  rng: Optional[np.random.Generator] = None,
+                  to_host: bool = True) -> DecodePlan:
     """Predict and assign parameters for every target in the batch (eval mode)."""
     plan = build_plan(batch, tables, cfg, reduce_graph=reduce_graph,
                       sanity_check=sanity_check)
     x_flat = forward_embeddings(params, cfg, batch, plan.shape_ind)
     run_plan(params, cfg, x_flat, plan, predict_class_layers=predict_class_layers,
-             weight_norm=weight_norm, rng=rng)
+             weight_norm=weight_norm, rng=rng, to_host=to_host)
     return plan
