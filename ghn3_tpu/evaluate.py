@@ -15,13 +15,21 @@ import numpy as np
 from .utils.logging import log
 
 
-def infer(model, params: Dict, data, batch_size: int = 64, max_batches: Optional[int] = None,
+def infer(model, params, data, batch_size: int = 64, max_batches: Optional[int] = None,
           seed: int = 0) -> Tuple[float, float]:
-    """Top-1/top-5 accuracy of a functional net over a DataSource (eval split)."""
-    fwd = jax.jit(lambda p, x: model(p, x, training=False))
+    """Top-1/top-5 accuracy of a functional net over a DataSource (eval split).
+    ``params`` is a dict or a PackedParams view (zero-copy device buffer)."""
+    from .predict import PackedParams
+    if isinstance(params, PackedParams):
+        view = params
+        fwd = jax.jit(lambda buf, x: model(view.with_buffer(buf), x, training=False))
+        arg = params.buffer
+    else:
+        fwd = jax.jit(lambda p, x: model(p, x, training=False))
+        arg = params
     top1 = top5 = n = 0
     for bi, (images, labels) in enumerate(data.batches(batch_size, train=False, seed=seed)):
-        logits = np.asarray(fwd(params, jnp.asarray(images)))
+        logits = np.asarray(fwd(arg, jnp.asarray(images)))
         top = np.argsort(logits, axis=-1)[:, ::-1][:, :5]
         hits = top == labels[:, None]
         top1 += int(hits[:, :1].any(1).sum())
@@ -41,7 +49,7 @@ def predict_and_eval_suite(ghn, suite: Dict[str, tuple], data=None, batch_size: 
     :param suite: {arch: (graph_def_or_builder, functional_net)}
     """
     from .graph.graphdef import GraphBatch, bucket_size
-    from .predict import predict_batch
+    from .predict import predict_packed
 
     # bucket architectures by node count -> batched prediction per bucket
     graphs = {}
@@ -56,17 +64,20 @@ def predict_and_eval_suite(ghn, suite: Dict[str, tuple], data=None, batch_size: 
         batch = GraphBatch.from_graphs([graphs[n] for n in names])
         tables = [suite[n][1].param_table() for n in names]
         t0 = time.time()
-        predict_batch(ghn.params, ghn.config, batch, tables, to_host=False)
+        views = predict_packed(ghn.params, ghn.config, batch, tables)
+        views[0].buffer.block_until_ready()
         t_predict = time.time() - t0
-        for name in names:
+        # a single host fetch of the packed buffer serves all norm checks
+        packed_np = np.asarray(jax.device_get(views[0].buffer))
+        for name, view in zip(names, views):
             net = suite[name][1]
+            net.predicted = view
             row = {'arch': name, 'n_nodes': graphs[name].n_nodes,
                    'predict_sec': t_predict / len(names),
-                   'n_tensors': len(net.predicted)}
-            # one batched device fetch per net for the norm check
-            host = jax.device_get(list(net.predicted.values()))
-            row['paramnorm'] = float(np.linalg.norm(
-                [np.linalg.norm(np.asarray(p).ravel()) for p in host]))
+                   'n_tensors': len(view)}
+            norms = [np.linalg.norm(packed_np[o:o + int(np.prod(s))])
+                     for o, s in view.spec.values()]
+            row['paramnorm'] = float(np.linalg.norm(norms))
             if metadata_name is not None:
                 from .metadata import get_metadata
                 expected = None

@@ -55,6 +55,58 @@ class GraphDef:
         self.adj = np.asarray(self.adj, dtype=np.int32)
         assert self.adj.shape == (self.n_nodes, self.n_nodes), (self.adj.shape, self.n_nodes)
 
+    # ------------------------------------------------------------------
+    # statistics / visualization (reference Graph.properties / visualize,
+    # graph.py:960-1102)
+    # ------------------------------------------------------------------
+    def one_hop_adj(self) -> np.ndarray:
+        """Binary adjacency without virtual edges."""
+        return (self.adj == 1).astype(np.int32)
+
+    def properties(self, undirected: bool = True, key=('avg_degree', 'avg_path')) -> dict:
+        import networkx as nx
+        g = nx.DiGraph(self.one_hop_adj())
+        if undirected:
+            g = g.to_undirected()
+        props = {}
+        for prop in key:
+            if prop == 'avg_degree':
+                degrees = dict(g.degree())
+                props[prop] = sum(degrees.values()) / max(1, self.n_nodes)
+            elif prop == 'avg_path':
+                props[prop] = nx.average_shortest_path_length(g)
+            else:
+                raise NotImplementedError(prop)
+        return props
+
+    def visualize(self, figname=None, figsize=(10, 10), with_labels=False, font_size=6):
+        """Draw the graph colored by primitive (matplotlib + networkx)."""
+        import matplotlib
+        if figname is not None:
+            matplotlib.use('Agg')
+        import matplotlib.pyplot as plt
+        from matplotlib import cm
+        import networkx as nx
+        from .primitives import NUM_PRIMITIVES, PRIMITIVES
+
+        g = nx.DiGraph(self.one_hop_adj())
+        colors = [cm.jet(int(round(255 * op / NUM_PRIMITIVES))) for op in self.node_op]
+        labels = {i: PRIMITIVES[op] for i, op in enumerate(self.node_op)}
+        fig = plt.figure(figsize=figsize)
+        try:
+            pos = nx.nx_pydot.graphviz_layout(g)
+        except Exception:
+            pos = nx.spring_layout(g, seed=0)
+        nx.draw_networkx(g, pos, node_color=colors, with_labels=with_labels,
+                         labels=labels if with_labels else None, font_size=font_size,
+                         node_size=50, arrowsize=8)
+        plt.axis('off')
+        if figname is not None:
+            plt.savefig(figname, dpi=fig.dpi)
+            plt.close(fig)
+        else:
+            plt.show()
+
 
 # Node-count buckets: geometric-ish steps, multiples of 8 (fp32 sublane) with larger
 # sizes on 128-lane multiples. Attention cost is O(N^2), so ~1.25-1.5x steps cap the

@@ -48,8 +48,18 @@ class GHN3:
 
     # ------------------------------------------------------------------
     @classmethod
-    def from_pretrained(cls, path: str, **overrides) -> 'GHN3':
-        """Load a checkpoint: our .npz or a published torch/joblib .pt file."""
+    def from_pretrained(cls, path: str = 'ghn3xlm16.pt', **overrides) -> 'GHN3':
+        """Load a checkpoint: our .npz, a published torch/joblib .pt file, or a
+        model name resolved from the HF hub (SamsungSAILMontreal/ghn3), falling
+        back to a local file (reference from_pretrained, nn.py:31-55)."""
+        import os
+        if not os.path.exists(path):
+            try:
+                from huggingface_hub import hf_hub_download
+                path = hf_hub_download(repo_id='SamsungSAILMontreal/ghn3', filename=path)
+            except Exception as e:
+                raise FileNotFoundError(
+                    f'checkpoint {path!r} not found locally and hub download failed: {e}')
         config, sd = ckpt.load_state_dict_file(path)
         if config is not None:
             known = set(GHNConfig.__dataclass_fields__)

@@ -54,6 +54,8 @@ class GroupItem:
     flat_idx: int                 # b * N_pad + node_ind
     record: TargetParam
     target_sz: Tuple[int, ...]
+    net_index: int = 0            # which target in the batch
+    name: str = ''                # matched parameter name in the target table
 
 
 @dataclasses.dataclass
@@ -110,7 +112,8 @@ def build_plan(batch: GraphBatch, tables: Sequence[TargetTable], cfg: GHNConfig,
                 shape_ind[b, row.node_ind] = shape_tables.shape_index(sz)
                 key = decode_key(sz, cfg.max_shape, row.is_last_weight, row.is_last_bias)
                 groups.setdefault(key, []).append(
-                    GroupItem(flat_idx=base + row.node_ind, record=matched, target_sz=sz))
+                    GroupItem(flat_idx=base + row.node_ind, record=matched, target_sz=sz,
+                              net_index=b, name=matched_name))
                 if reduce_graph:
                     del cell_table[matched_name]
     return DecodePlan(groups=groups, shape_ind=shape_ind, n_unmatched=n_unmatched)
@@ -187,11 +190,28 @@ def _assemble_group_traced(cfg: GHNConfig, key, decoded, items_sig, weight_norm:
     return outs
 
 
+def _signature_layout(signature) -> List[Tuple[int, Tuple[int, ...]]]:
+    """Flat (offset, shape) layout of the packed assembly output, in the same
+    deterministic traversal order the program emits tensors (tiling always
+    produces exactly the target shape)."""
+    layout = []
+    offset = 0
+    for key, items_sig in signature:
+        for target_sz, is_w in items_sig:
+            n_iter = 2 if (len(target_sz) == 1 and is_w) else 1
+            for _ in range(n_iter):
+                shape = tuple(target_sz)
+                layout.append((offset, shape))
+                offset += int(np.prod(shape))
+    return layout
+
+
 @functools.lru_cache(maxsize=None)
 def _assemble_all_fn(cfg: GHNConfig, signature, weight_norm: bool):
     """The full device-side assembly program: gather group embeddings, decode,
     tile to target shapes and fan-in-normalize — one XLA program per plan
-    signature. Output tensors stay on device (zero host work per tensor).
+    signature, with a SINGLE packed flat output buffer (hundreds of small
+    outputs are slow to compile and to fetch through PJRT).
 
     ``signature`` = tuple of (key, ((target_sz, is_w), ...)) per group.
     """
@@ -203,8 +223,49 @@ def _assemble_all_fn(cfg: GHNConfig, signature, weight_norm: bool):
                 decoded = decode_group(params, cfg, key, x_g)
                 outs.extend(_assemble_group_traced(cfg, key, decoded, items_sig,
                                                    weight_norm))
-            return tuple(outs)
+            return jnp.concatenate([o.reshape(-1) for o in outs])
     return jax.jit(run)
+
+
+class PackedParams:
+    """Lazy view over a packed parameter buffer: ``view[name]`` slices/reshapes,
+    which is free when accessed inside a jitted target-net apply. Quacks like the
+    param dict functional nets consume."""
+
+    def __init__(self, buffer, spec: Dict[str, Tuple[int, Tuple[int, ...]]]):
+        self.buffer = buffer
+        self.spec = dict(spec)
+
+    def with_buffer(self, buffer) -> 'PackedParams':
+        return PackedParams(buffer, self.spec)
+
+    def get(self, name, default=None):
+        if name not in self.spec:
+            return default
+        offset, shape = self.spec[name]
+        size = int(np.prod(shape))
+        return self.buffer[offset:offset + size].reshape(shape)
+
+    def __getitem__(self, name):
+        out = self.get(name)
+        if out is None:
+            raise KeyError(name)
+        return out
+
+    def __contains__(self, name):
+        return name in self.spec
+
+    def __len__(self):
+        return len(self.spec)
+
+    def keys(self):
+        return self.spec.keys()
+
+    def values(self):
+        return (self[k] for k in self.spec)
+
+    def items(self):
+        return ((k, self[k]) for k in self.spec)
 
 
 def _assemble_item(item: GroupItem, w_node, weight_norm: bool,
@@ -264,7 +325,26 @@ def run_plan(params, cfg: GHNConfig, x_flat, plan: DecodePlan,
         return
 
     # eval: one fused XLA program per plan signature does gather + decode +
-    # tile + normalize; tensors are only fetched to host for host-side targets
+    # tile + normalize, emitting a single packed flat buffer (one device fetch)
+    packed, signature = _run_packed(params, cfg, x_flat, active, weight_norm)
+    layout = _signature_layout(signature)
+
+    buf = np.asarray(jax.device_get(packed)) if to_host else packed
+    pos = 0
+    for key, items in active:
+        for item in items:
+            sz = item.target_sz
+            n_iter = 2 if (len(sz) == 1 and item.record.is_w) else 1
+            for it in range(n_iter):
+                offset, shape = layout[pos]
+                size = int(np.prod(shape))
+                tensor = buf[offset:offset + size].reshape(shape)
+                item.record.set_fn(tensor, bool(item.record.is_w) and it == 0)
+                pos += 1
+    assert pos == len(layout)
+
+
+def _run_packed(params, cfg: GHNConfig, x_flat, active, weight_norm: bool):
     signature = tuple(
         (key, tuple((tuple(it.target_sz), bool(it.record.is_w)) for it in items))
         for key, items in active)
@@ -274,21 +354,86 @@ def run_plan(params, cfg: GHNConfig, x_flat, plan: DecodePlan,
         inds = np.zeros((_group_bucket(g),), dtype=np.int32)
         inds[:g] = [it.flat_idx for it in items]
         inds_groups.append(jnp.asarray(inds))
-    outs = _assemble_all_fn(cfg, signature, weight_norm)(params, x_flat,
-                                                         tuple(inds_groups))
+    packed = _assemble_all_fn(cfg, signature, weight_norm)(params, x_flat,
+                                                           tuple(inds_groups))
+    return packed, signature
 
-    if to_host:
-        outs = [np.asarray(o) for o in jax.device_get(outs)]  # one batched fetch
 
+def _pair_bias_name(name: str) -> str:
+    return name[:-len('.weight')] + '.bias' if name.endswith('.weight') else name + '.bias'
+
+
+def plan_stats(plan: DecodePlan) -> Dict[str, int]:
+    """Predicted-tensor accounting (reference debug_level>=1, nn.py:354-397):
+    number of tensors and parameters the plan will produce."""
+    n_tensors = 0
+    n_params = 0
+    for key, items in plan.groups.items():
+        for it in items:
+            sz = it.target_sz
+            n_iter = 2 if (len(sz) == 1 and it.record.is_w) else 1
+            n_tensors += n_iter
+            n_params += n_iter * int(np.prod(sz))
+    return {'n_tensors_pred': n_tensors, 'n_params_pred': n_params}
+
+
+def verify_all_predicted(plan: DecodePlan, tables: Sequence[TargetTable]) -> Dict[str, int]:
+    """Compare plan coverage against the targets' declared parameter totals and
+    log the reference-style summary; raises if any target tensor is missed."""
+    from .utils.logging import log
+    stats = plan_stats(plan)
+    total_tensors = 0
+    total_params = 0
+    for table in tables:
+        for cell in table:
+            for rec in cell.values():
+                total_tensors += 1
+                total_params += int(np.prod(rec.sz))
+    stats['n_params_target'] = total_params
+    matched = stats['n_params_pred'] == total_params
+    log('number of parameter tensors predicted using GHN: {}, total parameters '
+        'predicted: {} ({})'.format(stats['n_tensors_pred'], stats['n_params_pred'],
+                                    'matched!' if matched else
+                                    f'error! not matched with {total_params} target params'))
+    if not matched:
+        raise ValueError(f'not all params predicted: {stats}')
+    return stats
+
+
+def predict_packed(params, cfg: GHNConfig, batch: GraphBatch,
+                   tables: Sequence[TargetTable],
+                   predict_class_layers: bool = True,
+                   weight_norm: Optional[bool] = None,
+                   sanity_check: bool = False) -> List[PackedParams]:
+    """Zero-host-copy prediction for functional JAX targets: returns one
+    PackedParams view per target (params stay on device; name lookups slice the
+    packed buffer lazily, fused into the consumer's jit)."""
+    weight_norm = cfg.weight_norm if weight_norm is None else weight_norm
+    plan = build_plan(batch, tables, cfg, sanity_check=sanity_check)
+    x_flat = forward_embeddings(params, cfg, batch, plan.shape_ind)
+
+    active = []
+    for key, items in plan.groups.items():
+        is_cls = len(key) == 2 and key[1] != 0
+        if is_cls and not predict_class_layers:
+            continue
+        active.append((key, items))
+    packed, signature = _run_packed(params, cfg, x_flat, active, weight_norm)
+    layout = _signature_layout(signature)
+
+    specs: List[Dict[str, Tuple[int, Tuple[int, ...]]]] = [dict() for _ in range(len(batch))]
     pos = 0
     for key, items in active:
         for item in items:
             sz = item.target_sz
             n_iter = 2 if (len(sz) == 1 and item.record.is_w) else 1
             for it in range(n_iter):
-                item.record.set_fn(outs[pos], bool(item.record.is_w) and it == 0)
+                offset, shape = layout[pos]
+                name = item.name if (it == 0 and item.record.is_w) or not item.record.is_w \
+                    else _pair_bias_name(item.name)
+                specs[item.net_index][name] = (offset, shape)
                 pos += 1
-    assert pos == len(outs)
+    return [PackedParams(packed, spec) for spec in specs]
 
 
 def predict_batch(params: Dict[str, jnp.ndarray], cfg: GHNConfig, batch: GraphBatch,
