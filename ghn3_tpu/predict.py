@@ -116,6 +116,10 @@ def build_plan(batch: GraphBatch, tables: Sequence[TargetTable], cfg: GHNConfig,
                               net_index=b, name=matched_name))
                 if reduce_graph:
                     del cell_table[matched_name]
+    # sort items so identical (shape, kind) entries are adjacent: the assembly
+    # program vectorizes over these runs (program size ~ #distinct shapes)
+    for items in groups.values():
+        items.sort(key=lambda it: (len(it.target_sz), it.target_sz, not it.record.is_w))
     return DecodePlan(groups=groups, shape_ind=shape_ind, n_unmatched=n_unmatched)
 
 
@@ -174,36 +178,73 @@ def _decode_all_fn(cfg: GHNConfig, keys: Tuple[Tuple[int, ...], ...]):
     return jax.jit(run)
 
 
-def _assemble_group_traced(cfg: GHNConfig, key, decoded, items_sig, weight_norm: bool):
-    """Tile/normalize every item of one decoded group (traceable, static shapes)."""
-    outs = []
-    for w_ind, (target_sz, is_w) in enumerate(items_sig):
-        w_node = decoded[w_ind]
-        n_iter = 2 if (len(target_sz) == 1 and is_w) else 1
-        for it in range(n_iter):
-            w_ = w_node[1 - int(is_w) + it] if len(target_sz) == 1 else w_node
-            tiled = tile_params(w_, target_sz)
-            w_flag = bool(is_w) and it == 0
+def _runs(items_sig):
+    """Consecutive runs of identical (target_sz, is_w) within a group (plan items
+    are sorted, so equal shapes are adjacent): [(start, count, target_sz, is_w)]."""
+    runs = []
+    i = 0
+    while i < len(items_sig):
+        sz, is_w = items_sig[i]
+        j = i
+        while j < len(items_sig) and items_sig[j] == (sz, is_w):
+            j += 1
+        runs.append((i, j - i, tuple(sz), bool(is_w)))
+        i = j
+    return runs
+
+
+def _normalize_block(block, target_sz, is_w: bool):
+    """Batched fan-in normalization: same rules as ops.assembly.normalize_params,
+    decided from the (static) target shape; ``block`` has a leading run axis."""
+    import math
+    sz = tuple(target_sz)
+    if len(sz) > 1:
+        if len(sz) > 2 and sz[2] >= 11 and sz[0] == 1:
+            return block  # positional encodings are not normalized
+        no_relu = len(sz) > 2 and (sz[1] == 1 or sz[2] < sz[3])
+        beta = 1.0 if no_relu else 2.0
+        return block * math.sqrt(beta / max(1, int(np.prod(sz[1:]))))
+    if is_w:
+        return 2.0 / (1.0 + jnp.exp(-0.5 * block))
+    return jnp.tanh(0.2 * block)
+
+
+def _emit_blocks(decoded, items_sig, weight_norm: bool):
+    """Tile/normalize a decoded group as vectorized runs. Returns a list of
+    (start, count, target_sz, pair_it, block) where ``block`` is (count, *sz).
+    vmap over identical-shape runs keeps the program size proportional to the
+    number of distinct shapes, not the number of tensors."""
+    out = []
+    for start, count, sz, is_w in _runs(items_sig):
+        sub = decoded[start:start + count]
+        tile = jax.vmap(lambda t, sz=sz: tile_params(t, sz))
+        if len(sz) == 1:
+            rows = ([sub[:, 0], sub[:, 1]] if is_w else [sub[:, 1]])
+            for pair_it, row in enumerate(rows):
+                block = tile(row)
+                if weight_norm:
+                    block = _normalize_block(block, sz, is_w and pair_it == 0)
+                out.append((start, count, sz, pair_it, block))
+        else:
+            block = tile(sub)
             if weight_norm:
-                tiled = normalize_params(tiled, w_flag)
-            outs.append(tiled)
-    return outs
+                block = _normalize_block(block, sz, is_w)
+            out.append((start, count, sz, 0, block))
+    return out
 
 
-def _signature_layout(signature) -> List[Tuple[int, Tuple[int, ...]]]:
-    """Flat (offset, shape) layout of the packed assembly output, in the same
-    deterministic traversal order the program emits tensors (tiling always
-    produces exactly the target shape)."""
-    layout = []
+def _iter_slots(signature):
+    """Canonical traversal of the packed buffer: yields
+    (group_idx, item_idx, pair_it, target_sz, offset) in program emission order."""
     offset = 0
-    for key, items_sig in signature:
-        for target_sz, is_w in items_sig:
-            n_iter = 2 if (len(target_sz) == 1 and is_w) else 1
-            for _ in range(n_iter):
-                shape = tuple(target_sz)
-                layout.append((offset, shape))
-                offset += int(np.prod(shape))
-    return layout
+    for gi, (key, items_sig) in enumerate(signature):
+        for start, count, sz, is_w in _runs(items_sig):
+            n_pair = 2 if (len(sz) == 1 and is_w) else 1
+            size = int(np.prod(sz))
+            for pair_it in range(n_pair):
+                for j in range(count):
+                    yield gi, start + j, pair_it, sz, offset
+                    offset += size
 
 
 @functools.lru_cache(maxsize=None)
@@ -217,13 +258,13 @@ def _assemble_all_fn(cfg: GHNConfig, signature, weight_norm: bool):
     """
     def run(params, x_flat, inds_groups):
         with jax.default_matmul_precision(_precision(cfg)):
-            outs = []
+            pieces = []
             for (key, items_sig), inds in zip(signature, inds_groups):
                 x_g = jnp.take(x_flat, inds, axis=0)
                 decoded = decode_group(params, cfg, key, x_g)
-                outs.extend(_assemble_group_traced(cfg, key, decoded, items_sig,
-                                                   weight_norm))
-            return jnp.concatenate([o.reshape(-1) for o in outs])
+                for _, _, _, _, block in _emit_blocks(decoded, items_sig, weight_norm):
+                    pieces.append(block.reshape(-1))
+            return jnp.concatenate(pieces)
     return jax.jit(run)
 
 
@@ -268,26 +309,6 @@ class PackedParams:
         return ((k, self[k]) for k in self.spec)
 
 
-def _assemble_item(item: GroupItem, w_node, weight_norm: bool,
-                   rng: Optional[np.random.Generator]) -> None:
-    """Tile/normalize one node's decoded tensor(s) and hand them to the setter."""
-    sz = item.target_sz
-    n_iter = 2 if (len(sz) == 1 and item.record.is_w) else 1
-    for it in range(n_iter):
-        if len(sz) == 1:
-            # norm weight/bias channel pair: row 0 = weight, row 1 = bias
-            w_ = w_node[1 - int(item.record.is_w) + it]
-        else:
-            w_ = w_node
-        tiled = tile_params(w_, sz, rng=rng)
-        is_w = bool(item.record.is_w) and it == 0
-        if weight_norm:
-            tiled = normalize_params(tiled, is_w)
-        if isinstance(tiled, np.ndarray):
-            tiled = np.ascontiguousarray(tiled)
-        item.record.set_fn(tiled, is_w)
-
-
 def run_plan(params, cfg: GHNConfig, x_flat, plan: DecodePlan,
              predict_class_layers: bool = True,
              weight_norm: Optional[bool] = None,
@@ -313,35 +334,31 @@ def run_plan(params, cfg: GHNConfig, x_flat, plan: DecodePlan,
         return
 
     if traced:
-        # inside an outer trace (training step): keep everything inline
+        # inside an outer trace (training step): inline the same vectorized-run
+        # ops; per-item rows are trace-time slices (free after fusion)
         for key, items in active:
             g = len(items)
             inds = np.zeros((_group_bucket(g),), dtype=np.int32)
             inds[:g] = [it.flat_idx for it in items]
             x_g = jnp.take(x_flat, jnp.asarray(inds), axis=0)
             decoded = decode_group(params, cfg, key, x_g)
-            for w_ind, item in enumerate(items):
-                _assemble_item(item, decoded[w_ind], weight_norm, rng)
+            items_sig = tuple((tuple(it.target_sz), bool(it.record.is_w)) for it in items)
+            for start, count, sz, pair_it, block in _emit_blocks(decoded, items_sig,
+                                                                 weight_norm):
+                for j in range(count):
+                    item = items[start + j]
+                    item.record.set_fn(block[j], bool(item.record.is_w) and pair_it == 0)
         return
 
     # eval: one fused XLA program per plan signature does gather + decode +
     # tile + normalize, emitting a single packed flat buffer (one device fetch)
     packed, signature = _run_packed(params, cfg, x_flat, active, weight_norm)
-    layout = _signature_layout(signature)
-
     buf = np.asarray(jax.device_get(packed)) if to_host else packed
-    pos = 0
-    for key, items in active:
-        for item in items:
-            sz = item.target_sz
-            n_iter = 2 if (len(sz) == 1 and item.record.is_w) else 1
-            for it in range(n_iter):
-                offset, shape = layout[pos]
-                size = int(np.prod(shape))
-                tensor = buf[offset:offset + size].reshape(shape)
-                item.record.set_fn(tensor, bool(item.record.is_w) and it == 0)
-                pos += 1
-    assert pos == len(layout)
+    for gi, item_idx, pair_it, sz, offset in _iter_slots(signature):
+        item = active[gi][1][item_idx]
+        size = int(np.prod(sz))
+        tensor = buf[offset:offset + size].reshape(sz)
+        item.record.set_fn(tensor, bool(item.record.is_w) and pair_it == 0)
 
 
 def _run_packed(params, cfg: GHNConfig, x_flat, active, weight_norm: bool):
@@ -419,20 +436,12 @@ def predict_packed(params, cfg: GHNConfig, batch: GraphBatch,
             continue
         active.append((key, items))
     packed, signature = _run_packed(params, cfg, x_flat, active, weight_norm)
-    layout = _signature_layout(signature)
-
     specs: List[Dict[str, Tuple[int, Tuple[int, ...]]]] = [dict() for _ in range(len(batch))]
-    pos = 0
-    for key, items in active:
-        for item in items:
-            sz = item.target_sz
-            n_iter = 2 if (len(sz) == 1 and item.record.is_w) else 1
-            for it in range(n_iter):
-                offset, shape = layout[pos]
-                name = item.name if (it == 0 and item.record.is_w) or not item.record.is_w \
-                    else _pair_bias_name(item.name)
-                specs[item.net_index][name] = (offset, shape)
-                pos += 1
+    for gi, item_idx, pair_it, sz, offset in _iter_slots(signature):
+        item = active[gi][1][item_idx]
+        name = item.name if (pair_it == 0 and item.record.is_w) or not item.record.is_w \
+            else _pair_bias_name(item.name)
+        specs[item.net_index][name] = (offset, tuple(sz))
     return [PackedParams(packed, spec) for spec in specs]
 
 
