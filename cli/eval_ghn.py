@@ -29,10 +29,8 @@ def torch_suite(args, ghn):
     from ghn3_tpu.zoo.torch_zoo import TORCH_ZOO
     suite = {}
     cutoff = ghn.config.ve_cutoff if ghn.config.ve else 1
-    for name in JAX_ZOO:
-        if args.arch not in (None, 'all') and args.arch != name and args.split == 'torch':
-            if args.arch in JAX_ZOO and name != args.arch:
-                continue
+    names = [args.arch] if args.arch in JAX_ZOO else list(JAX_ZOO)
+    for name in names:
         tm = TORCH_ZOO[name](num_classes=args.num_classes)
         suite[name] = (lambda tm=tm: trace_torch_model(tm, ve_cutoff=cutoff),
                        JAX_ZOO[name](num_classes=args.num_classes))

@@ -28,7 +28,10 @@ def load_state_dict_file(path: str) -> Tuple[Optional[dict], Dict[str, np.ndarra
     """
     if path.endswith('.npz'):
         data = np.load(path, allow_pickle=True)
-        cfg = data['__config__'].item() if '__config__' in data else None
+        cfg = None
+        if '__config__' in data:
+            meta = data['__config__'].item()
+            cfg = meta.get('config', meta) if isinstance(meta, dict) else meta
         sd = {k: data[k] for k in data.files if k != '__config__'}
         return cfg, sd
 

@@ -28,6 +28,8 @@ class GHNConfig:
     max_input_dist: int = 1000       # input-distance embedding clip
     edge_vocab: int = 257            # edge-distance embedding rows (255 + 2)
     dtype: str = 'float32'           # compute dtype of the graphormer stack
+    flash: bool = False              # Pallas fused attention (TPU, large N, fwd-only)
+    flash_min_nodes: int = 256       # below this, XLA fusion already wins
 
     def __post_init__(self):
         object.__setattr__(self, 'max_shape', tuple(self.max_shape))

@@ -157,6 +157,15 @@ def edge_bias_table(params: Params, cfg: GHNConfig) -> jnp.ndarray:
     return jax.nn.relu(pre) @ w1.T + b1                              # (T, T, heads)
 
 
+def _use_flash(cfg: GHNConfig, n: int) -> bool:
+    if not cfg.flash or n < cfg.flash_min_nodes or n % 8 != 0:
+        return False
+    try:
+        return jax.default_backend() == 'tpu'
+    except Exception:
+        return False
+
+
 def _attention(params: Params, pre: str, x, attn_bias, mask2, cfg: GHNConfig):
     b, n, c = x.shape
     h = cfg.heads
@@ -164,21 +173,27 @@ def _attention(params: Params, pre: str, x, attn_bias, mask2, cfg: GHNConfig):
     qkv = x @ params[pre + 'attn.to_qkv.weight'].T                    # (B, N, 3C)
     qkv = qkv.reshape(b, n, 3, h, d).transpose(2, 0, 3, 1, 4)         # (3, B, h, N, d)
     q, k, v = qkv[0], qkv[1], qkv[2]
-    attn = jnp.einsum('bhnd,bhmd->bhnm', q, k,
-                      preferred_element_type=jnp.float32) * (d ** -0.5)
-    if attn_bias is not None:
+    if _use_flash(cfg, n):
+        # fused online-softmax kernel; attn_bias already contains the mask fill
+        from ..ops.edge_attention import flash_bias_attention
+        y = flash_bias_attention(q.reshape(b * h, n, d), k.reshape(b * h, n, d),
+                                 v.reshape(b * h, n, d),
+                                 attn_bias.reshape(b * h, n, n), d ** -0.5)
+        y = y.reshape(b, h, n, d)
+    else:
+        attn = jnp.einsum('bhnd,bhmd->bhnm', q, k,
+                          preferred_element_type=jnp.float32) * (d ** -0.5)
         attn = attn + attn_bias
-    attn = jnp.where(mask2[:, None], attn, MASK_FILL)
-    attn = jax.nn.softmax(attn, axis=-1)
-    y = jnp.einsum('bhnm,bhmd->bhnd', attn, v, preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1)
+        y = jnp.einsum('bhnm,bhmd->bhnd', attn, v, preferred_element_type=jnp.float32)
     y = y.transpose(0, 2, 1, 3).reshape(b, n, c)
     return y @ params[pre + 'attn.to_out.0.weight'].T + params[pre + 'attn.to_out.0.bias']
 
 
-def _transformer_layer(params: Params, i: int, x, attn_bias, mask2, cfg: GHNConfig):
+def _transformer_layer(params: Params, i: int, x, attn_bias, cfg: GHNConfig):
     pre = f'gnn.{i}.'
     h = _layer_norm(x, params[pre + 'ln1.weight'], params[pre + 'ln1.bias'])
-    x = x + _attention(params, pre, h, attn_bias, mask2, cfg)
+    x = x + _attention(params, pre, h, attn_bias, None, cfg)
     h = _layer_norm(x, params[pre + 'ln2.weight'], params[pre + 'ln2.bias'])
     h = h @ params[pre + 'ff.net.0.weight'].T + params[pre + 'ff.net.0.bias']
     h = jax.nn.gelu(h, approximate=False)
@@ -218,7 +233,11 @@ def ghn_forward(params: Params, cfg: GHNConfig,
     bias = table[ef, eb]                                     # (B, N, N, heads)
     attn_bias = bias.transpose(0, 3, 1, 2)                   # (B, heads, N, N)
 
+    # fold the padding mask into the shared bias once (reference applies
+    # masked_fill(-2**15) per layer; masked logits underflow to 0 after softmax
+    # in either formulation)
     mask2 = mask[:, :, None] & mask[:, None, :]
+    attn_bias = jnp.where(mask2[:, None], attn_bias, MASK_FILL)
 
     dtype = jnp.dtype(cfg.dtype)
     if dtype != jnp.float32:
@@ -226,7 +245,7 @@ def ghn_forward(params: Params, cfg: GHNConfig,
         attn_bias = attn_bias.astype(dtype)
 
     for i in range(cfg.layers):
-        x = _transformer_layer(params, i, x, attn_bias, mask2, cfg)
+        x = _transformer_layer(params, i, x, attn_bias, cfg)
 
     x = x.astype(jnp.float32)
     if cfg.layernorm:

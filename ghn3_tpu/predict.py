@@ -309,6 +309,25 @@ class PackedParams:
         return ((k, self[k]) for k in self.spec)
 
 
+def _assemble_item(item: GroupItem, w_node, weight_norm: bool,
+                   rng: Optional[np.random.Generator]) -> None:
+    """Tile/normalize one node's decoded tensor(s) on host and hand them to the
+    setter (torch-target path)."""
+    sz = item.target_sz
+    n_iter = 2 if (len(sz) == 1 and item.record.is_w) else 1
+    for it in range(n_iter):
+        if len(sz) == 1:
+            # norm weight/bias channel pair: row 0 = weight, row 1 = bias
+            w_ = w_node[1 - int(item.record.is_w) + it]
+        else:
+            w_ = w_node
+        tiled = tile_params(w_, sz, rng=rng)
+        is_w = bool(item.record.is_w) and it == 0
+        if weight_norm:
+            tiled = normalize_params(tiled, is_w)
+        item.record.set_fn(np.ascontiguousarray(tiled), is_w)
+
+
 def run_plan(params, cfg: GHNConfig, x_flat, plan: DecodePlan,
              predict_class_layers: bool = True,
              weight_norm: Optional[bool] = None,
@@ -350,14 +369,31 @@ def run_plan(params, cfg: GHNConfig, x_flat, plan: DecodePlan,
                     item.record.set_fn(block[j], bool(item.record.is_w) and pair_it == 0)
         return
 
-    # eval: one fused XLA program per plan signature does gather + decode +
-    # tile + normalize, emitting a single packed flat buffer (one device fetch)
+    if to_host:
+        # host-side targets (torch): fetch the COMPACT decoded groups (the
+        # pre-tiling representation is ~50x smaller than the tiled parameters,
+        # which matters through a slow device link) and tile/normalize in numpy
+        keys = tuple(key for key, _ in active)
+        x_groups = []
+        for key, items in active:
+            g = len(items)
+            inds = np.zeros((_group_bucket(g),), dtype=np.int32)
+            inds[:g] = [it.flat_idx for it in items]
+            x_groups.append(jnp.take(x_flat, jnp.asarray(inds), axis=0))
+        decoded_all = _decode_all_fn(cfg, keys)(params, tuple(x_groups))
+        decoded_all = [np.asarray(d) for d in jax.device_get(decoded_all)]
+        for (key, items), decoded in zip(active, decoded_all):
+            for w_ind, item in enumerate(items):
+                _assemble_item(item, decoded[w_ind], weight_norm, rng)
+        return
+
+    # functional targets: one fused XLA program (gather + decode + tile +
+    # normalize) emits a single packed buffer that never leaves the device
     packed, signature = _run_packed(params, cfg, x_flat, active, weight_norm)
-    buf = np.asarray(jax.device_get(packed)) if to_host else packed
     for gi, item_idx, pair_it, sz, offset in _iter_slots(signature):
         item = active[gi][1][item_idx]
         size = int(np.prod(sz))
-        tensor = buf[offset:offset + size].reshape(sz)
+        tensor = packed[offset:offset + size].reshape(sz)
         item.record.set_fn(tensor, bool(item.record.is_w) and pair_it == 0)
 
 

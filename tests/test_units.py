@@ -1,0 +1,99 @@
+"""Unit tests: checkpoints, schedules, batching, metadata, shape encoder."""
+import math
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from ghn3_tpu import GHN3, GHNConfig
+from ghn3_tpu.checkpoint import infer_config, params_from_state_dict, state_dict_from_params
+from ghn3_tpu.graph.graphdef import GraphBatch, GraphDef, balanced_partition, bucket_size
+from ghn3_tpu.metadata import get_metadata
+from ghn3_tpu.models.shape_encoder import ShapeTables
+from ghn3_tpu.parallel import optim
+
+CFG = GHNConfig(hid=16, heads=2, layers=1, max_shape=(16, 16, 11, 11), num_classes=10)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    ghn = GHN3(CFG, seed=0)
+    path = str(tmp_path / 'ghn.npz')
+    ghn.save(path)
+    ghn2 = GHN3.from_pretrained(path)
+    assert ghn2.config.hid == CFG.hid and ghn2.config.layers == CFG.layers
+    for k, v in ghn.params.items():
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(ghn2.params[k]))
+
+
+def test_config_inference_from_state_dict():
+    ghn = GHN3(GHNConfig(hid=32, heads=2, layers=2, max_shape=(16, 16, 11, 11),
+                         num_classes=10, layernorm=True), seed=0)
+    sd = state_dict_from_params(ghn.params)
+    cfg = infer_config(sd)
+    assert cfg.hid == 32
+    assert cfg.layers == 2
+    assert cfg.num_classes == 10
+    assert cfg.max_shape == (16, 16, 11, 11)
+    assert cfg.layernorm
+
+
+def test_lr_schedules():
+    # cosine-warmup: linear warmup then half cosine (reference trainer.py:178-198)
+    lrs = [optim.lr_multiplier('cosine-warmup', e, epochs=20, base_lr=1.0) for e in range(20)]
+    assert lrs[0] == pytest.approx(1e-5)
+    assert max(lrs) == pytest.approx(1.0)
+    assert lrs[-1] < 0.05
+    assert optim.lr_multiplier('cosine-warmupsteps2-init_lr0.1-', 0, 10, base_lr=1.0) == \
+        pytest.approx(0.1)
+    assert optim.lr_multiplier('mstep', 250, 300, {'milestones': [200, 250], 'gamma': 0.1}) == \
+        pytest.approx(0.01)
+    assert optim.lr_multiplier('step', 60, 90, {'step_size': 30, 'gamma': 0.1}) == \
+        pytest.approx(0.01)
+
+
+def test_bucketing_and_partition():
+    assert bucket_size(10) == 16
+    assert bucket_size(129) == 192
+    assert bucket_size(5000) == 5120
+    shards = balanced_partition([100, 90, 10, 5, 50, 45], num_shards=2, per_shard=3)
+    assert sorted(len(s) for s in shards) == [3, 3]
+    loads = [sum([100, 90, 10, 5, 50, 45][i] for i in s) for s in shards]
+    assert abs(loads[0] - loads[1]) <= 20
+
+
+def test_graph_batch_padding():
+    g1 = GraphDef(node_op=np.array([9, 4, 10]), adj=np.triu(np.ones((3, 3), np.int32), 1),
+                  node_info=[[]], param_shapes=[None] * 3)
+    g2 = GraphDef(node_op=np.array([9, 4]), adj=np.triu(np.ones((2, 2), np.int32), 1),
+                  node_info=[[]], param_shapes=[None] * 2)
+    batch = GraphBatch.from_graphs([g1, g2])
+    assert batch.n_pad == 16
+    assert batch.mask.sum() == 5
+    np.testing.assert_array_equal(batch.n_nodes, [3, 2])
+    assert batch.slab_offset(1) == 16
+
+
+def test_metadata_aggregates():
+    meta = get_metadata('ghn3xlm16.pt')
+    assert len(meta) == 74
+    accs = [row['ghn3'] for row in meta.values()]
+    assert np.mean(accs) == pytest.approx(1.66, abs=0.05)  # BASELINE.md headline
+    assert max(accs) == pytest.approx(22.64, abs=0.01)
+
+
+def test_shape_tables_vocab():
+    t = ShapeTables(num_classes=10, max_spatial=11)
+    assert t.n_spatial == 8  # -> 9-row embedding, the CIFAR GHN signature (nn.py:83-84)
+    t16 = ShapeTables(num_classes=1000, max_spatial=16)
+    assert t16.n_spatial == 10
+    assert 1000 in t16.channels
+    # nearest-neighbor fill
+    assert t.channel_index(5) == t.channel_index(8)
+    assert t.spatial_index(2) == t.spatial_index(3)
+    assert t.shape_index(None) == t.dummy_index
+
+
+def test_ghn2_checkpoint_refused():
+    with pytest.raises(NotImplementedError):
+        GHN3(GHNConfig(is_ghn2=True))
