@@ -66,7 +66,8 @@ def main():
 
     data = None
     try:
-        data = image_loader(args.dataset, args.data_dir, imsize=args.imsize, split='val')
+        data = image_loader(args.dataset, args.data_dir, imsize=args.imsize, split='val',
+                            noise=args.noise)
     except (FileNotFoundError, NotImplementedError) as e:
         log(f'no eval data available ({e}); running norm checks only')
 
@@ -79,6 +80,18 @@ def main():
     results = predict_and_eval_suite(ghn, suite, data=data,
                                      batch_size=args.val_batch_size,
                                      metadata_name=meta_name)
+
+    if args.save_ckpt:
+        # export predicted weights per architecture (reference --save_ckpt)
+        import jax
+        os.makedirs(args.save_ckpt, exist_ok=True)
+        for name, (_, net) in suite.items():
+            params = {k: np.asarray(v) for k, v in
+                      zip(net.predicted.keys(),
+                          jax.device_get([net.predicted[k] for k in net.predicted.keys()]))}
+            out = os.path.join(args.save_ckpt, f'{name}_predicted.npz')
+            np.savez(out, **params)
+            log(f'saved predicted params to {out}')
     if 'top1' in results[0]:
         top1 = [r['top1'] for r in results]
         log(f'\navg top1: {np.mean(top1):.2f} +- {np.std(top1):.2f} over {len(top1)} archs')

@@ -165,12 +165,32 @@ class ImageFolder(DataSource):
             yield _normalize(xs, IMAGENET_MEAN, IMAGENET_STD), ys
 
 
+class NoisyImages(DataSource):
+    """Additive-gaussian-noise wrapper for robustness evaluation (ppuda
+    image_loader noise option, SURVEY §2.9)."""
+
+    def __init__(self, source: DataSource, std: float = 0.08, seed: int = 0):
+        self.source = source
+        self.std = std
+        self.seed = seed
+        self.num_examples = source.num_examples
+        self.num_classes = source.num_classes
+
+    def batches(self, batch_size, train=False, seed=0, shard=0, num_shards=1):
+        rng = np.random.default_rng(self.seed)
+        for x, y in self.source.batches(batch_size, train=train, seed=seed,
+                                        shard=shard, num_shards=num_shards):
+            yield x + self.std * rng.standard_normal(x.shape).astype(np.float32), y
+
+
 def image_loader(dataset: str, data_dir: str, imsize: int = 224,
-                 split: str = 'train') -> DataSource:
+                 split: str = 'train', noise: bool = False) -> DataSource:
     if dataset == 'synthetic':
-        return SyntheticImages(imsize=imsize)
-    if dataset == 'cifar10':
-        return Cifar10(data_dir, train=split == 'train')
-    if dataset == 'imagenet':
-        return ImageFolder(data_dir, split=split, imsize=imsize)
-    raise NotImplementedError(dataset)
+        src = SyntheticImages(imsize=imsize)
+    elif dataset == 'cifar10':
+        src = Cifar10(data_dir, train=split == 'train')
+    elif dataset == 'imagenet':
+        src = ImageFolder(data_dir, split=split, imsize=imsize)
+    else:
+        raise NotImplementedError(dataset)
+    return NoisyImages(src) if noise else src

@@ -1,0 +1,62 @@
+"""End-to-end eval harness: predict_packed + suite runner + jitted infer."""
+import numpy as np
+import jax
+
+from ghn3_tpu import GHN3, GHNConfig
+from ghn3_tpu.data.images import SyntheticImages, NoisyImages, image_loader
+from ghn3_tpu.evaluate import infer, predict_and_eval_suite
+from ghn3_tpu.graph.graphdef import GraphBatch
+from ghn3_tpu.nets.simple import ConvNet
+from ghn3_tpu.predict import predict_packed
+
+CFG = GHNConfig(hid=16, heads=2, layers=1, max_shape=(16, 16, 11, 11), num_classes=10)
+
+
+def test_predict_packed_views():
+    ghn = GHN3(CFG, seed=0)
+    nets = [ConvNet(channels=(8, 16)), ConvNet(channels=(8, 8))]
+    graphs = [n.graph_def() for n in nets]
+    views = predict_packed(ghn.params, CFG, GraphBatch.from_graphs(graphs),
+                           [n.param_table() for n in nets])
+    assert len(views) == 2
+    for net, view in zip(nets, views):
+        declared = {name for name, _, _ in net.named_params()}
+        assert declared == set(view.keys())
+        for name, shape, _ in net.named_params():
+            assert view[name].shape == shape
+    # packed view equals a host-path prediction
+    from ghn3_tpu.predict import predict_batch
+    predict_batch(ghn.params, CFG, GraphBatch.from_graphs(graphs),
+                  [n.param_table() for n in nets])
+    for net, view in zip(nets, views):
+        for name in view.keys():
+            np.testing.assert_allclose(np.asarray(view[name]),
+                                       np.asarray(net.predicted[name]),
+                                       atol=1e-6, err_msg=name)
+
+
+def test_suite_runner_and_infer():
+    ghn = GHN3(CFG, seed=0)
+    nets = {'a': ConvNet(channels=(8, 16)), 'b': ConvNet(channels=(8, 8, 16))}
+    suite = {k: (n.graph_def(), n) for k, n in nets.items()}
+    data = SyntheticImages(num_examples=64, num_classes=10, imsize=8)
+    rows = predict_and_eval_suite(ghn, suite, data=data, batch_size=16, max_batches=2)
+    assert len(rows) == 2
+    for row in rows:
+        assert np.isfinite(row['paramnorm'])
+        assert 0.0 <= row['top1'] <= 100.0
+
+
+def test_infer_with_dict_params():
+    net = ConvNet(channels=(8,))
+    params = net.init_params(jax.random.PRNGKey(0))
+    data = SyntheticImages(num_examples=32, num_classes=10, imsize=8)
+    top1, top5 = infer(net, params, data, batch_size=16)
+    assert 0.0 <= top1 <= top5 <= 100.0
+
+
+def test_noisy_loader():
+    src = image_loader('synthetic', './data', imsize=8, noise=True)
+    assert isinstance(src, NoisyImages)
+    x, y = next(iter(src.batches(8)))
+    assert x.shape == (8, 3, 8, 8)
