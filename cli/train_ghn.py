@@ -99,6 +99,8 @@ def main():
                 data.batches(args.batch_size, train=True, seed=args.seed + epoch)):
             if step < trainer.start_step:
                 continue
+            if args.max_steps is not None and step >= args.max_steps:
+                break
             mb = pool[(epoch * n_batches + step) % len(pool)]
             trainer.update(images, labels, meta_batch=mb)
             trainer.log(step)

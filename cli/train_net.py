@@ -103,6 +103,8 @@ def main():
                 data.batches(args.batch_size, train=True, seed=args.seed + epoch)):
             if step < trainer.start_step:
                 continue
+            if args.max_steps is not None and step >= args.max_steps:
+                break
             trainer.update(images, labels)
             trainer.log(step)
             trainer.save(epoch, step, config, interm_epoch=args.interm_epoch)

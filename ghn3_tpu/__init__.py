@@ -10,5 +10,13 @@ __version__ = '0.1.0'
 from .graph import GraphDef, GraphBatch, PRIMITIVES
 from .config import GHNConfig
 from .hypernet import GHN3
+from .metadata import get_metadata, norm_check
 
-__all__ = ['GraphDef', 'GraphBatch', 'PRIMITIVES', 'GHNConfig', 'GHN3', '__version__']
+# heavier subsystems are imported lazily by their modules:
+#   ghn3_tpu.parallel.trainer.Trainer      training loop (GHN meta / classifier)
+#   ghn3_tpu.predict.{predict_batch,predict_packed}
+#   ghn3_tpu.data.deepnets1m.DeepNets1M    architecture dataset
+#   ghn3_tpu.evaluate.{infer,predict_and_eval_suite}
+
+__all__ = ['GraphDef', 'GraphBatch', 'PRIMITIVES', 'GHNConfig', 'GHN3',
+           'get_metadata', 'norm_check', '__version__']

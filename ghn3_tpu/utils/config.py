@@ -40,6 +40,8 @@ def base_parser(mode: str) -> argparse.ArgumentParser:
                    help='force a JAX platform (e.g. cpu for smoke tests)')
     p.add_argument('--num_devices', type=int, default=None,
                    help='virtual device count when --platform cpu')
+    p.add_argument('--max_steps', type=int, default=None,
+                   help='cap steps per epoch (smoke tests)')
 
     if mode in ('train_ghn', 'eval'):
         p.add_argument('-v', '--virtual_edges', type=int, default=50)

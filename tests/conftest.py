@@ -21,6 +21,12 @@ if REPO not in sys.path:
 REFERENCE = '/root/reference'
 SHIMS = os.path.join(REPO, 'tests', 'ref_shims')
 
+# the torchvision/ppuda shims are visible to all tests (torchvision is not
+# installed in this environment; zoo models optionally subclass its classes so
+# the reference's isinstance-gated fixes engage during golden comparisons)
+if SHIMS not in sys.path:
+    sys.path.insert(0, SHIMS)
+
 
 def reference_available() -> bool:
     return os.path.isdir(REFERENCE)

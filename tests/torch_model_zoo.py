@@ -206,6 +206,76 @@ class MiniViT(nn.Module):
         return self.head(x.mean(1))
 
 
+
+
+class SwinBlock(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim)
+        self.attn = SwinAttention(dim)
+        self.norm2 = nn.LayerNorm(dim)
+        self.mlp = nn.Linear(dim, dim)
+
+    def forward(self, x):
+        x = x + self.attn(self.norm1(x))
+        return x + self.mlp(self.norm2(x))
+
+
+class SwinAttention(nn.Module):
+    def __init__(self, dim, heads=2):
+        super().__init__()
+        self.heads = heads
+        self.qkv = nn.Linear(dim, dim * 3, bias=False)
+        self.proj = nn.Linear(dim, dim)
+
+    def forward(self, x):
+        b, n, c = x.shape
+        qkv = self.qkv(x).reshape(b, n, 3, self.heads, c // self.heads).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        att = ((q @ k.transpose(-2, -1)) * (c // self.heads) ** -0.5).softmax(dim=-1)
+        return self.proj((att @ v).transpose(1, 2).reshape(b, n, c))
+
+
+class PatchMerging(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.norm = nn.LayerNorm(2 * dim)
+        self.reduction = nn.Linear(2 * dim, 2 * dim, bias=False)
+
+    def forward(self, x):
+        b, n, c = x.shape
+        x = x.reshape(b, n // 2, 2 * c)
+        return self.reduction(self.norm(x))
+
+
+try:  # subclass torchvision's class so isinstance-gated reference fixes engage
+    from torchvision.models import SwinTransformer as _SwinBase
+except ImportError:  # pragma: no cover
+    _SwinBase = nn.Module
+
+
+class SwinTransformer(_SwinBase):
+    """Mini hierarchical transformer; the class (name) triggers the reference's
+    Swin-specific edge fixes (graph.py:579-598), which our tracer replicates."""
+
+    def __init__(self, dim=8, num_classes=10):
+        super().__init__()
+        self.stem0 = nn.Conv2d(3, dim, 8, stride=8, bias=False)
+        self.stage1 = SwinBlock(dim)
+        self.merge1 = PatchMerging(dim)
+        self.stage2 = SwinBlock(2 * dim)
+        self.norm = nn.LayerNorm(2 * dim)
+        self.head = nn.Linear(2 * dim, num_classes)
+        self.expected_input_sz = 32
+
+    def forward(self, x):
+        x = self.stem0(x).flatten(2).transpose(1, 2)
+        x = self.stage1(x)
+        x = self.merge1(x)
+        x = self.stage2(x)
+        return self.head(self.norm(x).mean(1))
+
+
 ZOO = {
     'plain_cnn': lambda: PlainCNN(),
     'mini_resnet': lambda: MiniResNet(),
@@ -213,4 +283,5 @@ ZOO = {
     'mini_inception': lambda: MiniInception(),
     'mini_mobile': lambda: MiniMobile(),
     'mini_vit': lambda: MiniViT(),
+    'mini_swin': lambda: SwinTransformer(),
 }
