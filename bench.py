@@ -37,7 +37,7 @@ def main():
     from ghn3_tpu.zoo.torch_zoo import TORCH_ZOO
 
     suite = ['resnet18', 'resnet34', 'resnet50', 'resnet101', 'resnet152',
-             'wide_resnet50_2']
+             'wide_resnet50_2', 'vit_b_16']
 
     cfg = GHNConfig.ghn3_xl()
     # init on CPU (avoids a dozen TPU init-program compiles), then one transfer

@@ -42,12 +42,14 @@ def _kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale: float, bj: int):
         v = v_ref[0, pl.ds(j * bj, bj), :].astype(jnp.float32)
         b = b_ref[0, :, pl.ds(j * bj, bj)].astype(jnp.float32)      # (BI, BJ)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale + b
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST) * scale + b
         m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         corr = jnp.exp(m - m_new)
         l = l * corr + p.sum(axis=-1, keepdims=True)
-        acc = acc * corr + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        acc = acc * corr + jnp.dot(p, v, preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
         return m_new, l, acc
 
     m0 = jnp.full((bi, 1), -jnp.inf, jnp.float32)

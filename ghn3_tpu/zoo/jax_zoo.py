@@ -130,6 +130,78 @@ class ResNetF(FModule):
         return table
 
 
+class _ViTBlock(FModule):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.heads = heads
+        self.ln1 = LayerNorm(dim)
+        self.ln2 = LayerNorm(dim)
+        self.to_qkv = Linear(dim, dim * 3, bias=False)
+        self.to_out = Linear(dim, dim)
+        self.fc1 = Linear(dim, dim * 4)
+        self.fc2 = Linear(dim * 4, dim)
+        # match torch_zoo naming: attn.{to_qkv,to_out}
+        self._children.pop('to_qkv')
+        self._children.pop('to_out')
+        attn = FModule()
+        attn.add('to_qkv', self.to_qkv)
+        attn.add('to_out', self.to_out)
+        self.add('attn', attn)
+
+    def __call__(self, P, x, prefix='', training=False):
+        b, n, c = x.shape
+        h = self.heads
+        d = c // h
+        y = self.ln1(P, x, prefix + 'ln1.', training)
+        qkv = self.to_qkv(P, y, prefix + 'attn.to_qkv.', training)
+        qkv = qkv.reshape(b, n, 3, h, d).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        att = jax.nn.softmax(jnp.einsum('bhnd,bhmd->bhnm', q, k) * (d ** -0.5), axis=-1)
+        y = jnp.einsum('bhnm,bhmd->bhnd', att, v).transpose(0, 2, 1, 3).reshape(b, n, c)
+        x = x + self.to_out(P, y, prefix + 'attn.to_out.', training)
+        y = self.ln2(P, x, prefix + 'ln2.', training)
+        y = self.fc1(P, y, prefix + 'fc1.', training)
+        y = self.fc2(P, jax.nn.gelu(y, approximate=False), prefix + 'fc2.', training)
+        return x + y
+
+
+class ViTF(FModule):
+    """Functional twin of zoo/torch_zoo.vit_b_16 (learned pos-embedding ViT)."""
+
+    def __init__(self, num_classes=1000, dim=768, depth=12, heads=12, patch=16,
+                 img_size=224):
+        super().__init__()
+        self._n_cells = 1
+        self.expected_input_sz = img_size
+        self.num_classes = num_classes
+        n_tok = (img_size // patch) ** 2
+        self.patch = patch
+        self.stem0 = Conv2d(3, dim, patch, stride=patch, bias=False)
+        pos = FModule()
+        pos.declare('weight', (n_tok, dim), True)
+        self.add('pos_enc', pos)
+        self.pos_enc = pos
+        blocks = Sequential()
+        for _ in range(depth):
+            blocks.append(_ViTBlock(dim, heads))
+        self.blocks = blocks
+        self.ln = LayerNorm(dim)
+        self.head = Linear(dim, num_classes)
+        self.predicted: Dict[str, jnp.ndarray] = {}
+
+    def __call__(self, P, x, prefix='', training=False):
+        x = self.stem0(P, x, prefix + 'stem0.', training)
+        b, c, h, w = x.shape
+        x = x.reshape(b, c, h * w).transpose(0, 2, 1)
+        x = x + self.pos_enc.p(P, prefix + 'pos_enc.', 'weight')[None]
+        x = self.blocks(P, x, prefix + 'blocks.', training)
+        x = self.ln(P, x, prefix + 'ln.', training)
+        return self.head(P, x.mean(axis=1), prefix + 'head.', training)
+
+    param_shapes = ResNetF.param_shapes
+    param_table = ResNetF.param_table
+
+
 JAX_ZOO = {
     'resnet18': lambda num_classes=1000: ResNetF('basic', (2, 2, 2, 2), num_classes=num_classes),
     'resnet34': lambda num_classes=1000: ResNetF('basic', (3, 4, 6, 3), num_classes=num_classes),
@@ -138,4 +210,5 @@ JAX_ZOO = {
     'resnet152': lambda num_classes=1000: ResNetF('bottleneck', (3, 8, 36, 3), num_classes=num_classes),
     'wide_resnet50_2': lambda num_classes=1000: ResNetF('bottleneck', (3, 4, 6, 3), width=128,
                                                         num_classes=num_classes),
+    'vit_b_16': lambda num_classes=1000: ViTF(num_classes=num_classes),
 }
