@@ -200,6 +200,42 @@ OPS = {
 }
 
 
+class AuxiliaryHead(FModule):
+    """Auxiliary classifier head (reference ppuda AuxiliaryHeadCIFAR/ImageNet,
+    SURVEY §2.9). ``pool_stride``/``pool_sz`` differ between CIFAR and ImageNet."""
+
+    def __init__(self, c_in, num_classes, imagenet=True, pool_sz=5):
+        super().__init__()
+        stride = 2 if imagenet else 3
+        self.features = Sequential(
+            ReLU(),
+            AvgPool2d(pool_sz if not imagenet else 5, stride=stride, padding=0,
+                      count_include_pad=False),
+            Conv2d(c_in, 128, 1, bias=False),
+            BatchNorm2d(128),
+            ReLU(),
+            Conv2d(128, 768, 2, bias=False),
+            BatchNorm2d(768),
+            ReLU())
+        self.classifier = Linear(768, num_classes)
+
+    def __call__(self, P, x, prefix='', training=False):
+        x = self.features(P, x, prefix + 'features.', training)
+        x = x.reshape(x.shape[0], -1)
+        return self.classifier(P, x, prefix + 'classifier.', training)
+
+
+def drop_path(x, drop_prob: float, rng):
+    """DARTS stochastic depth (reference ppuda drop_path): zero a sample's path
+    with prob ``drop_prob`` and rescale."""
+    if drop_prob <= 0 or rng is None:
+        return x
+    import jax
+    keep = 1.0 - drop_prob
+    mask = jax.random.bernoulli(rng, keep, (x.shape[0], 1, 1, 1)).astype(x.dtype)
+    return x / keep * mask
+
+
 class Cell(FModule):
     """One DARTS cell: two preprocessed inputs, pairwise ops, concat of states."""
 
@@ -328,6 +364,7 @@ class Network(FModule):
         is_reduction = lambda ci: ci in (n_cells // 3, 2 * n_cells // 3) and ci > 0
         self._auxiliary = auxiliary
         self._auxiliary_cell_ind = 2 * n_cells // 3
+        self._is_imagenet = is_imagenet_input
 
         reduction_prev = stem_type == 1
         for cell_ind in range(n_cells):
@@ -343,6 +380,11 @@ class Network(FModule):
             self.cells.append(cell)
             reduction_prev = reduction
             c_prev_prev, c_prev = c_prev, cell.multiplier * c_curr
+            if auxiliary and cell_ind == self._auxiliary_cell_ind:
+                pool_sz = 2 if (stem_type == 1 or stem_pool) else 5
+                self.auxiliary_head = AuxiliaryHead(c_prev, num_classes,
+                                                    imagenet=is_imagenet_input,
+                                                    pool_sz=pool_sz)
 
         self._glob_avg = glob_avg
         if glob_avg:
@@ -370,13 +412,17 @@ class Network(FModule):
         else:
             s0 = s1 = self.stem(P, x, prefix + 'stem.', training)
 
+        logits_aux = None
         for cell_ind, cell in enumerate(self.cells):
             s0, s1 = s1, cell(P, s0, s1, prefix=f'{prefix}cells.{cell_ind}.', training=training)
+            if self._auxiliary and training and cell_ind == self._auxiliary_cell_ind:
+                logits_aux = self.auxiliary_head(P, s1, prefix + 'auxiliary_head.', training)
 
         if s1 is None:
             raise ValueError('invalid network configuration: output is None')
         out = s1.mean(axis=(2, 3)) if self._glob_avg else s1.reshape(s1.shape[0], -1)
-        return self.classifier(P, out.astype(jnp.float32), prefix + 'classifier.', training)
+        logits = self.classifier(P, out.astype(jnp.float32), prefix + 'classifier.', training)
+        return (logits, logits_aux) if logits_aux is not None else logits
 
     # ------------------------------------------------------------------
     # GHN target protocol

@@ -123,6 +123,8 @@ class Trainer:
                  scheduler_args: Optional[Dict] = None,
                  n_batches: int = 1000,
                  grad_clip: float = 5.0,
+                 auxiliary: bool = False,
+                 auxiliary_weight: float = 0.4,
                  label_smoothing: float = 0.0,
                  predparam_wd: float = 0.0,
                  epochs: Optional[int] = None,
@@ -151,6 +153,8 @@ class Trainer:
         self.n_batches = n_batches
         self.label_smoothing = label_smoothing
         self.predparam_wd = predparam_wd
+        self.auxiliary = auxiliary
+        self.auxiliary_weight = auxiliary_weight
         self.bce = bce
         self.mixup_rng = np.random.default_rng(seed) if mixup_fn else None
         self.log_interval = log_interval
@@ -230,8 +234,13 @@ class Trainer:
                 logits_all = []
                 predwd = 0.0
                 for net in nets:
-                    logits = net(net.predicted, images, training=True)
-                    losses.append(self._loss_from_logits(logits, labels))
+                    out = net(net.predicted, images, training=True)
+                    logits, aux = out if isinstance(out, tuple) else (out, None)
+                    loss_i = self._loss_from_logits(logits, labels)
+                    if aux is not None and self.auxiliary:
+                        loss_i = loss_i + self.auxiliary_weight * \
+                            self._loss_from_logits(aux, labels)
+                    losses.append(loss_i)
                     logits_all.append(logits)
                     if predparam_wd > 0:
                         for t in net.predicted.values():
@@ -271,8 +280,12 @@ class Trainer:
 
         def step(params, opt_state, images, labels):
             def loss_fn(p):
-                logits = model(p, images, training=True)
-                return self._loss_from_logits(logits, labels), logits
+                out = model(p, images, training=True)
+                logits, aux = out if isinstance(out, tuple) else (out, None)
+                loss = self._loss_from_logits(logits, labels)
+                if aux is not None and self.auxiliary:
+                    loss = loss + self.auxiliary_weight * self._loss_from_logits(aux, labels)
+                return loss, logits
 
             (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             finite = jnp.isfinite(loss)
