@@ -535,3 +535,26 @@ def trace_torch_model(model,
 
     return GraphDef(node_op=node_op, adj=A, node_info=node_info, param_shapes=param_shapes,
                     net=model)
+
+
+def num_valid_nodes(model, input_sz=None) -> int:
+    """Count learnable parameter tensors that receive gradients (reference
+    Graph.num_valid_nodes, graph.py:354-390 — debug_level>=2 check that the
+    graph covers every trainable tensor)."""
+    import torch
+    input_sz = input_sz or expected_input_size(model)
+    device = next(model.parameters()).device
+    with torch.enable_grad():
+        out = model((torch.rand(1, *input_sz, device=device) - 0.5) / 2)
+        if isinstance(out, tuple):
+            out = out[0]
+        loss = out.mean()
+        if torch.isnan(loss):
+            return -1
+        loss.backward()
+        valid = 0
+        for _, p in model.named_parameters():
+            if p.requires_grad and p.grad is not None and p.grad.abs().sum() > 1e-20:
+                valid += 1
+        model.zero_grad(set_to_none=True)
+    return valid

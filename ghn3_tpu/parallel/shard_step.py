@@ -1,0 +1,57 @@
+"""Explicit-collective data-parallel training step (shard_map + lax.psum).
+
+The default Trainer relies on jit + sharding annotations and lets the SPMD
+partitioner insert the gradient all-reduce. This module provides the explicit
+formulation — per-shard gradients reduced with ``lax.psum`` over the ``data``
+mesh axis — which is the building block for multi-host meshes and for composing
+additional axes (e.g. a ``model`` axis sharding the decoder's output
+projection). Semantically identical to the implicit path; tested against it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+
+def make_sharded_train_step(loss_fn: Callable, optimizer: optax.GradientTransformation,
+                            mesh: Mesh, axis: str = 'data'):
+    """Build a jitted DP train step with explicit psum collectives.
+
+    :param loss_fn: (params, images, labels) -> scalar loss for a LOCAL shard.
+    :return: step(params, opt_state, images, labels) -> (params, opt_state, loss)
+        where images/labels are globally batched arrays sharded on dim 0.
+    """
+    def local_step(params, opt_state, images, labels):
+        # params replicated; images/labels are this shard's slice
+        loss, grads = jax.value_and_grad(loss_fn)(params, images, labels)
+        grads = jax.lax.pmean(grads, axis)          # ICI all-reduce
+        loss = jax.lax.pmean(loss, axis)
+        finite = jnp.isfinite(loss)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        new_params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old), new_params, params)
+        new_opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old), new_opt_state, opt_state)
+        return new_params, new_opt_state, loss
+
+    mapped = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis)),
+        out_specs=(P(), P(), P()),
+        check_rep=False)
+
+    return jax.jit(mapped, donate_argnums=(0, 1))
+
+
+def shard_arrays(mesh: Mesh, *arrays, axis: str = 'data'):
+    """Place arrays with dim-0 sharding over the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return tuple(jax.device_put(a, sharding) for a in arrays)

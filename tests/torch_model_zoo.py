@@ -276,6 +276,28 @@ class SwinTransformer(_SwinBase):
         return self.head(self.norm(x).mean(1))
 
 
+
+class MiniMHANet(nn.Module):
+    """Uses torch nn.MultiheadAttention: exercises the in_proj_weight/in_proj_bias
+    parameter path (reference MODULES + _set_params MHA handling)."""
+
+    def __init__(self, dim=16, num_classes=10):
+        super().__init__()
+        self.stem0 = nn.Conv2d(3, dim, 8, stride=8, bias=False)
+        self.ln1 = nn.LayerNorm(dim)
+        self.mha = nn.MultiheadAttention(dim, 2, batch_first=True, bias=False)
+        self.ln2 = nn.LayerNorm(dim)
+        self.head = nn.Linear(dim, num_classes)
+        self.expected_input_sz = 32
+
+    def forward(self, x):
+        x = self.stem0(x).flatten(2).transpose(1, 2)
+        y = self.ln1(x)
+        y, _ = self.mha(y, y, y, need_weights=False)
+        x = x + y
+        return self.head(self.ln2(x).mean(1))
+
+
 ZOO = {
     'plain_cnn': lambda: PlainCNN(),
     'mini_resnet': lambda: MiniResNet(),
@@ -284,4 +306,5 @@ ZOO = {
     'mini_mobile': lambda: MiniMobile(),
     'mini_vit': lambda: MiniViT(),
     'mini_swin': lambda: SwinTransformer(),
+    'mini_mha': lambda: MiniMHANet(),
 }
