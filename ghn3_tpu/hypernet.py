@@ -41,7 +41,10 @@ class GHN3:
 
     def __init__(self, config: GHNConfig, params: Optional[Dict] = None, seed: int = 0):
         if config.is_ghn2:
-            raise NotImplementedError('GHN-2 (GatedGNN) checkpoints are not supported yet')
+            from .utils.logging import log
+            log('WARNING: GHN-2 (GatedGNN) support is EXPERIMENTAL — structurally '
+                'faithful but not yet fixture-verified against published ghn2.pt '
+                'outputs (see models/gatedgnn.py).')
         self.config = config
         self.params = params if params is not None else init_ghn_params(
             jax.random.PRNGKey(seed), config)

@@ -80,11 +80,27 @@ def init_ghn_params(rng, cfg: GHNConfig) -> Params:
     p['shape_enc.embed_channel.weight'] = _trunc_normal(nxt(), (tables.n_channels + 1, hid // 4), embed_std * 2)
     p['shape_enc.embed_spatial.weight'] = _trunc_normal(nxt(), (tables.n_spatial + 1, hid // 4), embed_std * 2)
 
-    p['centrality_embed_in.weight'] = _trunc_normal(nxt(), (cfg.max_degree + 1, hid), embed_std)
-    p['centrality_embed_out.weight'] = _trunc_normal(nxt(), (cfg.max_degree + 1, hid), embed_std)
-    p['input_dist_embed.weight'] = _trunc_normal(nxt(), (cfg.max_input_dist + 1, hid), embed_std)
+    if not cfg.is_ghn2:
+        p['centrality_embed_in.weight'] = _trunc_normal(nxt(), (cfg.max_degree + 1, hid), embed_std)
+        p['centrality_embed_out.weight'] = _trunc_normal(nxt(), (cfg.max_degree + 1, hid), embed_std)
+        p['input_dist_embed.weight'] = _trunc_normal(nxt(), (cfg.max_input_dist + 1, hid), embed_std)
 
-    for i in range(cfg.layers):
+    if cfg.is_ghn2:
+        # GatedGNN parameters (experimental GHN-2 path, models/gatedgnn.py)
+        for name in ('gnn.mlp.', 'gnn.mlp_ve.'):
+            w, b = _linear_init(nxt(), hid, hid)
+            p[name + 'fc.0.weight'], p[name + 'fc.0.bias'] = w, b
+            w, b = _linear_init(nxt(), hid, hid)
+            p[name + 'fc.2.weight'], p[name + 'fc.2.bias'] = w, b
+        bound = 1.0 / math.sqrt(hid)
+        k = nxt()
+        ks = jax.random.split(k, 4)
+        p['gnn.gru.weight_ih'] = jax.random.uniform(ks[0], (3 * hid, hid), jnp.float32, -bound, bound)
+        p['gnn.gru.weight_hh'] = jax.random.uniform(ks[1], (3 * hid, hid), jnp.float32, -bound, bound)
+        p['gnn.gru.bias_ih'] = jax.random.uniform(ks[2], (3 * hid,), jnp.float32, -bound, bound)
+        p['gnn.gru.bias_hh'] = jax.random.uniform(ks[3], (3 * hid,), jnp.float32, -bound, bound)
+
+    for i in range(0 if cfg.is_ghn2 else cfg.layers):
         pre = f'gnn.{i}.'
         p[pre + 'ln1.weight'] = jnp.ones((hid,))
         p[pre + 'ln1.bias'] = jnp.zeros((hid,))
@@ -206,13 +222,23 @@ def ghn_forward(params: Params, cfg: GHNConfig,
                 adj: jnp.ndarray,        # (B, N, N) int32 with virtual-edge distances
                 shape_ind: jnp.ndarray,  # (B, N, 4) int32
                 mask: jnp.ndarray,       # (B, N) bool
+                levels: jnp.ndarray = None,  # (B, N) topo levels, GHN-2 only
                 ) -> jnp.ndarray:
-    """Node embeddings after the graphormer stack (+ final LN): (B, N, hid)."""
+    """Node embeddings after the propagation stack (+ final LN): (B, N, hid).
+    GHN-3: graphormer with edge-biased attention. GHN-2: GatedGNN (experimental,
+    models/gatedgnn.py)."""
     ec = params['shape_enc.embed_channel.weight']
     es = params['shape_enc.embed_spatial.weight']
     x = params['embed.weight'][node_op]
     x = x + jnp.concatenate([ec[shape_ind[..., 0]], ec[shape_ind[..., 1]],
                              es[shape_ind[..., 2]], es[shape_ind[..., 3]]], axis=-1)
+
+    if cfg.is_ghn2:
+        from .gatedgnn import gated_gnn_forward
+        x = gated_gnn_forward(params, cfg, x * mask[..., None], adj, levels, mask)
+        if cfg.layernorm:
+            x = _layer_norm(x, params['ln.weight'], params['ln.bias'])
+        return x
 
     # structural embeddings (reference graphormer.py:229-235, layer 0 only)
     e1 = (adj == 1)
@@ -274,12 +300,15 @@ def decode_conv(params: Params, cfg: GHNConfig, x: jnp.ndarray,
     z = x @ params['decoder.fc.0.weight'].T + params['decoder.fc.0.bias']
     z = jax.nn.relu(z).reshape(g, hid4, s, s)
 
-    off = s // 2
-    h0 = max(0, off - kh // 2)
-    h1 = off + int(np.ceil(kh / 2))
-    w0 = max(0, off - kw // 2)
-    w1 = off + int(np.ceil(kw / 2))
-    z = z[:, :, h0:h1, w0:w1]
+    if cfg.is_ghn2:
+        z = z[:, :, :kh, :kw]      # GHN-2: corner crop (nn.py:739-740)
+    else:
+        off = s // 2
+        h0 = max(0, off - kh // 2)
+        h1 = off + int(np.ceil(kh / 2))
+        w0 = max(0, off - kw // 2)
+        w1 = off + int(np.ceil(kw / 2))
+        z = z[:, :, h0:h1, w0:w1]
     khc, kwc = min(s, kh), min(s, kw)
 
     z = z.transpose(0, 2, 3, 1)                                            # (G, kh, kw, hid4)

@@ -29,9 +29,11 @@ def _tile(xp, w, reps):
 
 
 def tile_params(w: np.ndarray, target_shape: Sequence[int],
-                rng: Optional[np.random.Generator] = None) -> np.ndarray:
+                rng: Optional[np.random.Generator] = None,
+                corner: bool = False) -> np.ndarray:
     """Crop/tile a decoded tensor ``w`` to ``target_shape`` (reference `_tile_params`,
-    nn.py:422-506; GHN-3 center-offset path).
+    nn.py:422-506). GHN-3 uses center-offset crops; ``corner=True`` selects the
+    GHN-2 corner-crop branches (nn.py:451-452,498-499).
 
     :param rng: randomness source for the ViT class-token row appended in the 3d
         positional-embedding path (reference uses torch.normal(std=0.02)).
@@ -66,10 +68,13 @@ def tile_params(w: np.ndarray, target_shape: Sequence[int],
         s2 = min(t[2], s[2]) if len(s) > 2 else 1
         s3 = min(t[3], s[3]) if len(s) > 3 else 1
         if len(s) > 2:
-            off = (w.shape[-2] // 2, w.shape[-1] // 2)
-            w = w[:min(t[0], s[0]), :min(t[1], s[1]),
-                  off[0] - s2 // 2: off[0] + int(math.ceil(s2 / 2)),
-                  off[1] - s3 // 2: off[1] + int(math.ceil(s3 / 2))]
+            if corner:
+                w = w[:min(t[0], s[0]), :min(t[1], s[1]), :s2, :s3]
+            else:
+                off = (w.shape[-2] // 2, w.shape[-1] // 2)
+                w = w[:min(t[0], s[0]), :min(t[1], s[1]),
+                      off[0] - s2 // 2: off[0] + int(math.ceil(s2 / 2)),
+                      off[1] - s3 // 2: off[1] + int(math.ceil(s3 / 2))]
         else:
             w = w[:min(t[0], s[0]), :min(t[1], s[1])][:, :, None, None]
 
@@ -99,6 +104,8 @@ def tile_params(w: np.ndarray, target_shape: Sequence[int],
         w = w[:t[0], :t[1]]
     elif len(t) == 3:
         w = w[:t[0], :t[1], :t[2]]
+    elif corner:
+        w = w[:t[0], :t[1], :t[2], :t[3]]
     else:
         off = (w.shape[-2] // 2, w.shape[-1] // 2)
         w = w[:t[0], :t[1],

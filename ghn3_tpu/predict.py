@@ -134,18 +134,27 @@ def _precision(cfg: GHNConfig) -> str:
 
 @functools.lru_cache(maxsize=None)
 def _forward_fn(cfg: GHNConfig):
-    def fwd(params, node_op, adj, shape_ind, mask):
+    def fwd(params, node_op, adj, shape_ind, mask, levels):
         with jax.default_matmul_precision(_precision(cfg)):
-            x = ghn_core.ghn_forward(params, cfg, node_op, adj, shape_ind, mask)
+            x = ghn_core.ghn_forward(params, cfg, node_op, adj, shape_ind, mask,
+                                     levels=levels)
         return x.reshape(-1, cfg.hid)
     return jax.jit(fwd)
 
 
+def batch_levels(batch: GraphBatch) -> np.ndarray:
+    """Topological levels per graph (GHN-2 GatedGNN sequential propagation)."""
+    from .models.gatedgnn import topo_levels
+    return np.stack([topo_levels(g.adj, batch.n_pad) for g in batch.graphs])
+
+
 def forward_embeddings(params, cfg: GHNConfig, batch: GraphBatch,
                        shape_ind: np.ndarray) -> jnp.ndarray:
-    """(B*N_pad, hid) node embeddings after the graphormer stack (jitted)."""
+    """(B*N_pad, hid) node embeddings after the propagation stack (jitted)."""
+    levels = batch_levels(batch) if cfg.is_ghn2 else np.zeros_like(batch.node_op)
     return _forward_fn(cfg)(params, jnp.asarray(batch.node_op), jnp.asarray(batch.adj),
-                            jnp.asarray(shape_ind), jnp.asarray(batch.mask))
+                            jnp.asarray(shape_ind), jnp.asarray(batch.mask),
+                            jnp.asarray(levels))
 
 
 def _group_bucket(g: int) -> int:
@@ -209,7 +218,7 @@ def _normalize_block(block, target_sz, is_w: bool):
     return jnp.tanh(0.2 * block)
 
 
-def _emit_blocks(decoded, items_sig, weight_norm: bool):
+def _emit_blocks(decoded, items_sig, weight_norm: bool, corner: bool = False):
     """Tile/normalize a decoded group as vectorized runs. Returns a list of
     (start, count, target_sz, pair_it, block) where ``block`` is (count, *sz).
     vmap over identical-shape runs keeps the program size proportional to the
@@ -217,7 +226,7 @@ def _emit_blocks(decoded, items_sig, weight_norm: bool):
     out = []
     for start, count, sz, is_w in _runs(items_sig):
         sub = decoded[start:start + count]
-        tile = jax.vmap(lambda t, sz=sz: tile_params(t, sz))
+        tile = jax.vmap(lambda t, sz=sz: tile_params(t, sz, corner=corner))
         if len(sz) == 1:
             rows = ([sub[:, 0], sub[:, 1]] if is_w else [sub[:, 1]])
             for pair_it, row in enumerate(rows):
@@ -262,7 +271,8 @@ def _assemble_all_fn(cfg: GHNConfig, signature, weight_norm: bool):
             for (key, items_sig), inds in zip(signature, inds_groups):
                 x_g = jnp.take(x_flat, inds, axis=0)
                 decoded = decode_group(params, cfg, key, x_g)
-                for _, _, _, _, block in _emit_blocks(decoded, items_sig, weight_norm):
+                for _, _, _, _, block in _emit_blocks(decoded, items_sig, weight_norm,
+                                                      corner=cfg.is_ghn2):
                     pieces.append(block.reshape(-1))
             return jnp.concatenate(pieces)
     return jax.jit(run)
@@ -310,7 +320,7 @@ class PackedParams:
 
 
 def _assemble_item(item: GroupItem, w_node, weight_norm: bool,
-                   rng: Optional[np.random.Generator]) -> None:
+                   rng: Optional[np.random.Generator], corner: bool = False) -> None:
     """Tile/normalize one node's decoded tensor(s) on host and hand them to the
     setter (torch-target path)."""
     sz = item.target_sz
@@ -321,7 +331,7 @@ def _assemble_item(item: GroupItem, w_node, weight_norm: bool,
             w_ = w_node[1 - int(item.record.is_w) + it]
         else:
             w_ = w_node
-        tiled = tile_params(w_, sz, rng=rng)
+        tiled = tile_params(w_, sz, rng=rng, corner=corner)
         is_w = bool(item.record.is_w) and it == 0
         if weight_norm:
             tiled = normalize_params(tiled, is_w)
@@ -362,8 +372,8 @@ def run_plan(params, cfg: GHNConfig, x_flat, plan: DecodePlan,
             x_g = jnp.take(x_flat, jnp.asarray(inds), axis=0)
             decoded = decode_group(params, cfg, key, x_g)
             items_sig = tuple((tuple(it.target_sz), bool(it.record.is_w)) for it in items)
-            for start, count, sz, pair_it, block in _emit_blocks(decoded, items_sig,
-                                                                 weight_norm):
+            for start, count, sz, pair_it, block in _emit_blocks(
+                    decoded, items_sig, weight_norm, corner=cfg.is_ghn2):
                 for j in range(count):
                     item = items[start + j]
                     item.record.set_fn(block[j], bool(item.record.is_w) and pair_it == 0)
@@ -384,7 +394,7 @@ def run_plan(params, cfg: GHNConfig, x_flat, plan: DecodePlan,
         decoded_all = [np.asarray(d) for d in jax.device_get(decoded_all)]
         for (key, items), decoded in zip(active, decoded_all):
             for w_ind, item in enumerate(items):
-                _assemble_item(item, decoded[w_ind], weight_norm, rng)
+                _assemble_item(item, decoded[w_ind], weight_norm, rng, corner=cfg.is_ghn2)
         return
 
     # functional targets: one fused XLA program (gather + decode + tile +

@@ -94,6 +94,9 @@ def test_shape_tables_vocab():
     assert t.shape_index(None) == t.dummy_index
 
 
-def test_ghn2_checkpoint_refused():
-    with pytest.raises(NotImplementedError):
-        GHN3(GHNConfig(is_ghn2=True))
+def test_ghn2_experimental_construction():
+    # GHN-2 configs construct (experimental GatedGNN path); forward is covered
+    # by test_ghn2.py
+    ghn = GHN3(GHNConfig(hid=16, heads=2, layers=1, is_ghn2=True,
+                         max_shape=(16, 16, 11, 11)))
+    assert ghn.config.is_ghn2
