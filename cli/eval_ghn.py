@@ -38,6 +38,16 @@ def torch_suite(args, ghn):
 
 
 def deepnets_suite(args, ghn):
+    if args.split == 'predefined':
+        from ghn3_tpu.nets.predefined import build_predefined, predefined_nets
+        cutoff = ghn.config.ve_cutoff if ghn.config.ve else 1
+        suite = {}
+        for name in predefined_nets(args.dataset == 'imagenet'):
+            builder, fnet = build_predefined(name, num_classes=args.num_classes,
+                                             is_imagenet_input=args.dataset == 'imagenet')
+            suite[name] = (lambda b=builder: b(ve_cutoff=cutoff), fnet)
+        return suite
+
     from ghn3_tpu.data.deepnets1m import DeepNets1M
     ds = DeepNets1M(split=args.split, nets_dir=args.nets_dir,
                     virtual_edges=args.virtual_edges,

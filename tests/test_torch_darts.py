@@ -1,0 +1,69 @@
+"""Torch twin of the genotype Network: graphs identical to the reference
+Network implementation, and functional-vs-torch execution of predicted params."""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+import jax.numpy as jnp
+
+from conftest import enable_reference_import, reference_available
+from deepnets_fixture import GENOTYPES
+
+from ghn3_tpu import GHN3, GHNConfig
+from ghn3_tpu.graph.genotypes import from_dict
+from ghn3_tpu.graph.graphdef import GraphBatch
+from ghn3_tpu.graph.torch_trace import trace_torch_model
+from ghn3_tpu.nets.darts import Network as FNetwork
+from ghn3_tpu.nets.torch_darts import build_torch_network
+from ghn3_tpu.predict import predict_batch
+
+CFG = GHNConfig(hid=32, heads=2, layers=2, max_shape=(16, 16, 11, 11), num_classes=10)
+
+
+@pytest.mark.skipif(not reference_available(), reason='reference repo not mounted')
+@pytest.mark.parametrize('idx', range(len(GENOTYPES)))
+def test_twin_graph_matches_reference_network(idx):
+    enable_reference_import()
+    from ghn3.graph import Graph
+    from ghn3.ops import Network as RefNetwork
+    from ppuda.deepnets1m.genotypes import from_dict as ref_from_dict
+
+    geno_dict, args = GENOTYPES[idx]
+    ref_net = RefNetwork(genotype=ref_from_dict(geno_dict), num_classes=10,
+                         is_imagenet_input=False, imagenet_stride=4,
+                         auxiliary=False, **args)
+    twin = build_torch_network(from_dict(geno_dict), num_classes=10,
+                               is_imagenet_input=False, **args)
+    g_ref = Graph(ref_net, ve_cutoff=50)
+    g_twin = trace_torch_model(twin, ve_cutoff=50)
+    assert g_twin.n_nodes == g_ref.n_nodes
+    np.testing.assert_array_equal(g_twin.node_op, g_ref.node_feat.numpy().reshape(-1))
+    np.testing.assert_array_equal(g_twin.adj, g_ref._Adj.numpy())
+    ref_names = sorted(n for n, _ in ref_net.named_parameters())
+    twin_names = sorted(n for n, _ in twin.named_parameters())
+    assert ref_names == twin_names
+
+
+@pytest.mark.parametrize('idx', [0, 2])
+def test_twin_predicted_params_run_in_functional_net(idx):
+    geno_dict, args = GENOTYPES[idx]
+    genotype = from_dict(geno_dict)
+    twin = build_torch_network(genotype, num_classes=10, is_imagenet_input=False, **args)
+    fnet = FNetwork(genotype=genotype, num_classes=10, is_imagenet_input=False,
+                    imagenet_stride=4, auxiliary=False, **args)
+
+    twin_names = {n for n, _ in twin.named_parameters()}
+    f_names = {n for n, _, _ in fnet.named_params()}
+    assert twin_names == f_names, sorted(twin_names ^ f_names)[:8]
+
+    ghn = GHN3(CFG, seed=1)
+    graph = trace_torch_model(twin, ve_cutoff=CFG.ve_cutoff)
+    ghn(twin, graphs=graph)   # torch path
+    predict_batch(ghn.params, CFG, GraphBatch.from_graphs([graph]), [fnet.param_table()])
+
+    x = np.random.default_rng(0).normal(size=(2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        twin.train()  # batch-stats BN
+        ref = twin(torch.from_numpy(x)).numpy()
+    out = np.asarray(fnet(fnet.predicted, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
