@@ -27,7 +27,8 @@ from ghn3_tpu.utils.config import init_config
 from ghn3_tpu.utils.logging import log
 
 
-def build_arch_pool(args, cfg, pool_size=8):
+def build_arch_pool(args, cfg, pool_size=None):
+    pool_size = pool_size or args.pool_size
     """A pool of (meta-batch) compiled-program units to cycle through."""
     h5 = os.path.join(args.nets_dir, 'deepnets1m_train.hdf5')
     pools = []

@@ -73,17 +73,26 @@ def _op_key(param_name: str) -> str:
     return param_name[:len(param_name) if ind == -1 else ind]
 
 
+_SAVED_ATTRS_BY_TYPE: Dict[type, Tuple[str, ...]] = {}
+
+
 def _saved_attrs(fn) -> Dict[str, str]:
     import torch
+    t = type(fn)
+    names = _SAVED_ATTRS_BY_TYPE.get(t)
+    if names is None:
+        names = tuple(a for a in dir(fn) if a.startswith('_saved_'))
+        _SAVED_ATTRS_BY_TYPE[t] = names
     attrs = {}
-    for attr in dir(fn):
-        if not attr.startswith('_saved_'):
-            continue
-        val = getattr(fn, attr)
+    for attr in names:
+        try:
+            val = getattr(fn, attr)
+        except RuntimeError:
+            continue  # saved tensor already freed
         key = attr[len('_saved_'):]
         if torch.is_tensor(val):
             attrs[key] = '[saved tensor]'
-        elif isinstance(val, tuple) and any(torch.is_tensor(t) for t in val):
+        elif isinstance(val, tuple) and any(torch.is_tensor(t_) for t_ in val):
             attrs[key] = '[saved tensors]'
         else:
             attrs[key] = str(val)

@@ -56,6 +56,9 @@ def base_parser(mode: str) -> argparse.ArgumentParser:
         p.add_argument('-m', '--meta_batch_size', type=int, default=1)
         p.add_argument('-n', '--num_nets', type=int, default=None)
         p.add_argument('--ghn2', action='store_true', help='GHN-2 baseline mode')
+        p.add_argument('--pool_size', type=int, default=8,
+                       help='architecture-pool size (one compiled program per '
+                            'meta-batch; lower = less compile time)')
     if mode in ('train_ghn', 'train_net'):
         p.add_argument('--opt', type=str, default='adamw' if mode == 'train_ghn' else 'sgd')
         p.add_argument('--lr', type=float, default=4e-4 if mode == 'train_ghn' else 0.1)
