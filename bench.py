@@ -47,8 +47,10 @@ def main():
     ghn.params = {k: _jax.device_put(v, device) for k, v in ghn.params.items()}
 
     t0 = time.time()
-    models = {name: TORCH_ZOO[name]() for name in suite}
-    graphs = {name: trace_torch_model(m, ve_cutoff=cfg.ve_cutoff) for name, m in models.items()}
+    from ghn3_tpu.graph.cache import cached_graph
+    graphs = {n: cached_graph(n, lambda n=n: trace_torch_model(TORCH_ZOO[n](),
+                                                               ve_cutoff=cfg.ve_cutoff),
+                              ve_cutoff=cfg.ve_cutoff) for n in suite}
     nets = {name: JAX_ZOO[name]() for name in suite}
     t_graphs = time.time() - t0
 

@@ -90,6 +90,10 @@ def main():
                       save_dir=args.save_dir, bce=args.bce, mixup_fn=args.mixup,
                       log_interval=args.log_interval, mesh=mesh, seed=args.seed)
 
+    if args.profile:
+        import jax
+        jax.profiler.start_trace(args.profile)
+
     config = {'mode': 'train_ghn', **{k: v for k, v in vars(args).items()
                                       if isinstance(v, (int, float, str, bool, type(None)))}}
     for epoch in range(trainer.start_epoch, args.epochs):
@@ -107,6 +111,10 @@ def main():
             trainer.log(step)
             trainer.save(epoch, step, config, interm_epoch=args.interm_epoch)
         trainer.scheduler_step(epoch + 1)
+    if args.profile:
+        import jax
+        jax.profiler.stop_trace()
+        log(f'profiler trace written to {args.profile}')
     log('done')
 
 

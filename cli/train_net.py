@@ -94,6 +94,10 @@ def main():
                       mixup_fn=args.mixup, log_interval=args.log_interval,
                       mesh=mesh, seed=args.seed)
 
+    if args.profile:
+        import jax
+        jax.profiler.start_trace(args.profile)
+
     config = {'mode': 'train_net', 'arch': args.arch}
     for epoch in range(trainer.start_epoch, args.epochs):
         log(f'epoch {epoch + 1}/{args.epochs}, lr {trainer.get_lr():.2e}')
@@ -109,6 +113,10 @@ def main():
             trainer.log(step)
             trainer.save(epoch, step, config, interm_epoch=args.interm_epoch)
         trainer.scheduler_step(epoch + 1)
+    if args.profile:
+        import jax
+        jax.profiler.stop_trace()
+        log(f'profiler trace written to {args.profile}')
     log('done')
 
 

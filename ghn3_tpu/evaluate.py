@@ -4,7 +4,6 @@ SURVEY §3.4)."""
 
 from __future__ import annotations
 
-import functools
 import time
 from typing import Dict, List, Optional, Tuple
 

@@ -1,0 +1,51 @@
+"""Disk cache for compiled GraphDefs.
+
+Host graph compilation costs ~1-3 s per architecture (torch autograd walk);
+sweeps and benchmarks re-trace the same canonical architectures every run. The
+cache stores the numpy payload + node metadata keyed by (name, ve_cutoff,
+cache_version), so repeat runs skip tracing entirely.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Callable, Optional
+
+from .graphdef import GraphDef
+
+CACHE_VERSION = 1
+
+
+def _default_dir() -> str:
+    return os.environ.get(
+        'GHN3_GRAPH_CACHE',
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), '.graph_cache'))
+
+
+def cached_graph(name: str, build: Callable[[], GraphDef], ve_cutoff: int = 50,
+                 cache_dir: Optional[str] = None) -> GraphDef:
+    """Load the graph for ``name`` from the cache, or build + store it.
+    The attached ``net`` is never cached (callers re-attach their target)."""
+    cache_dir = cache_dir or _default_dir()
+    path = os.path.join(cache_dir, f'{name}_ve{ve_cutoff}_v{CACHE_VERSION}.pkl')
+    if os.path.exists(path):
+        try:
+            with open(path, 'rb') as f:
+                return pickle.load(f)
+        except Exception:
+            pass  # stale/corrupt entry: rebuild
+    g = build()
+    net = g.net
+    g.net = None
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + '.tmp'
+        with open(tmp, 'wb') as f:
+            pickle.dump(g, f)
+        os.replace(tmp, path)
+    except Exception:
+        pass
+    g.net = net
+    return g

@@ -21,7 +21,6 @@ from typing import Any, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .primitives import PRIMITIVE_INDEX
 
 
 @dataclasses.dataclass

@@ -19,7 +19,7 @@ import numpy as np
 
 from .graphdef import GraphDef, NodeParam
 from .primitives import PRIMITIVE_INDEX
-from .shortest_paths import add_virtual_edges, topological_order
+from .shortest_paths import add_virtual_edges
 
 
 def _conv_primitive(module, op_name: str) -> str:

@@ -13,7 +13,7 @@ param dict).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence, Union
+from typing import Any, Dict, List, Optional, Sequence
 
 import jax
 import numpy as np
@@ -119,6 +119,8 @@ class GHN3:
             graph_list = list(graphs)
 
         batch = graphs if isinstance(graphs, GraphBatch) else GraphBatch.from_graphs(graph_list)
+        assert len(batch) == len(nets_list), \
+            f'{len(nets_list)} targets but {len(batch)} graphs'
         tables = [_target_table(net) for net in nets_list]
         # torch targets need host tensors; pure-functional targets keep them on device
         to_host = any(hasattr(net, 'named_modules') for net in nets_list)

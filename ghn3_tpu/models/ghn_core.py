@@ -20,7 +20,6 @@ TPU-first design notes
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Dict, Tuple
 

@@ -9,7 +9,6 @@ param dict (the "lightweight modules" concept reduces to declared shapes).
 
 from __future__ import annotations
 
-import math
 from typing import Dict, List, Optional
 
 import jax
@@ -17,7 +16,7 @@ import jax.numpy as jnp
 
 from ..graph.genotypes import Genotype, parse_op_ks
 from .functional import (AdaptiveAvgPool2d, AvgPool2d, BatchNorm2d, Conv2d, Dropout,
-                         FModule, GELU, Hardswish, Identity, LayerNorm, Linear,
+                         FModule, GELU, Identity, LayerNorm, Linear,
                          MaxPool2d, ModuleList, ReLU, Sequential, Stride, Zero)
 
 

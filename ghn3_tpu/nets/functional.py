@@ -13,7 +13,7 @@ Layouts follow torch conventions (NCHW activations, OIHW conv weights,
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, List, Optional, Tuple, Union
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ projection). Semantically identical to the implicit path; tested against it.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

@@ -22,11 +22,9 @@ redesigned as single-program SPMD:
 from __future__ import annotations
 
 import dataclasses
-import functools
 import os
 import pickle
-import time
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

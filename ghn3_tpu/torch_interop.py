@@ -9,8 +9,6 @@ framework never needs it.
 
 from __future__ import annotations
 
-from typing import List
-
 import numpy as np
 
 from .graph.torch_trace import get_cell_ind

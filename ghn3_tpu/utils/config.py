@@ -42,6 +42,8 @@ def base_parser(mode: str) -> argparse.ArgumentParser:
                    help='virtual device count when --platform cpu')
     p.add_argument('--max_steps', type=int, default=None,
                    help='cap steps per epoch (smoke tests)')
+    p.add_argument('--profile', type=str, default=None,
+                   help='write a jax.profiler trace to this directory')
 
     if mode in ('train_ghn', 'eval'):
         p.add_argument('-v', '--virtual_edges', type=int, default=50)

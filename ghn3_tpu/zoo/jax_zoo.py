@@ -9,12 +9,12 @@ batch statistics (the running-stat-free eval mode, reference eval_ghn.py:155-160
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from ..nets.functional import (AdaptiveAvgPool2d, BatchNorm2d, Conv2d, FModule,
+from ..nets.functional import (BatchNorm2d, Conv2d, FModule,
                                LayerNorm, Linear, MaxPool2d, Sequential)
 
 

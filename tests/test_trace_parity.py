@@ -52,3 +52,17 @@ def test_graph_matches_reference(name):
                 assert tuple(np_ours.sz) == tuple(sz), (name, np_ours, row_ref)
             assert np_ours.is_last_weight == bool(last_w)
             assert np_ours.is_last_bias == bool(last_b)
+
+
+@pytest.mark.parametrize('depth', [60])
+def test_deep_graph_parity(depth):
+    """Deep chains (hundreds of nodes): recursion limits, virtual-edge cutoff."""
+    from torch_model_zoo import PlainCNN
+    torch.manual_seed(0)
+    model = PlainCNN(depth=depth)
+    ref = _reference_graph(copy.deepcopy(model))
+    ours = trace_torch_model(model)
+    assert ours.n_nodes == ref.n_nodes > 100
+    np.testing.assert_array_equal(ours.adj, ref._Adj.numpy())
+    # virtual edges capped at the cutoff
+    assert ours.adj.max() == 50
