@@ -22,7 +22,7 @@ from .config import GHNConfig
 from . import checkpoint as ckpt
 from .graph.graphdef import GraphBatch, GraphDef
 from .models.ghn_core import init_ghn_params
-from .predict import TargetTable, predict_batch
+from .predict import TargetTable
 
 
 def _target_table(net) -> TargetTable:
@@ -99,12 +99,15 @@ class GHN3:
     def __call__(self, nets, graphs=None, predict_class_layers: bool = True,
                  bn_track_running_stats: bool = True, keep_grads: bool = False,
                  reduce_graph: bool = False, sanity_check: bool = False,
+                 return_embeddings: bool = False,
                  rng: Optional[np.random.Generator] = None):
         """Predict parameters for one target or a list of targets.
 
         ``keep_grads`` exists for reference API compatibility; gradients through
         prediction are available only on the JAX-native training path
         (parallel/trainer.py), not through torch targets.
+        ``return_embeddings`` additionally returns the post-propagation node
+        embeddings per graph (reference nn.py:189, property-prediction use).
         """
         is_lst = isinstance(nets, (list, tuple))
         nets_list = list(nets) if is_lst else [nets]
@@ -124,10 +127,12 @@ class GHN3:
         tables = [_target_table(net) for net in nets_list]
         # torch targets need host tensors; pure-functional targets keep them on device
         to_host = any(hasattr(net, 'named_modules') for net in nets_list)
-        predict_batch(self.params, self.config, batch, tables,
-                      predict_class_layers=predict_class_layers,
-                      reduce_graph=reduce_graph, sanity_check=sanity_check, rng=rng,
-                      to_host=to_host)
+        from .predict import build_plan, forward_embeddings, run_plan
+        plan = build_plan(batch, tables, self.config, reduce_graph=reduce_graph,
+                          sanity_check=sanity_check)
+        x_flat = forward_embeddings(self.params, self.config, batch, plan.shape_ind)
+        run_plan(self.params, self.config, x_flat, plan,
+                 predict_class_layers=predict_class_layers, rng=rng, to_host=to_host)
 
         if not bn_track_running_stats:
             from .torch_interop import set_bn_eval_without_stats
@@ -135,4 +140,9 @@ class GHN3:
                 if hasattr(net, 'named_modules'):
                     set_bn_eval_without_stats(net)
 
-        return nets_list if is_lst else nets_list[0]
+        out = nets_list if is_lst else nets_list[0]
+        if return_embeddings:
+            x = np.asarray(x_flat).reshape(len(batch), batch.n_pad, -1)
+            embeddings = [x[b, :g.n_nodes] for b, g in enumerate(batch.graphs)]
+            return out, (embeddings if is_lst else embeddings[0])
+        return out

@@ -60,3 +60,11 @@ def test_noisy_loader():
     assert isinstance(src, NoisyImages)
     x, y = next(iter(src.batches(8)))
     assert x.shape == (8, 3, 8, 8)
+
+
+def test_return_embeddings():
+    ghn = GHN3(CFG, seed=0)
+    net = ConvNet(channels=(8, 16))
+    _, emb = ghn(net, graphs=net.graph_def(), return_embeddings=True)
+    assert emb.shape == (net.graph_def().n_nodes, CFG.hid)
+    assert np.isfinite(emb).all()
