@@ -64,8 +64,13 @@ class GHN3:
                 raise FileNotFoundError(
                     f'checkpoint {path!r} not found locally and hub download failed: {e}')
         config, sd = ckpt.load_state_dict_file(path)
+        known = set(GHNConfig.__dataclass_fields__)
+        ignored = {k: v for k, v in overrides.items() if k not in known}
+        if ignored:  # e.g. the reference's debug_level — accepted, not needed here
+            from .utils.logging import log
+            log(f'from_pretrained: ignoring non-config kwargs {sorted(ignored)}')
+        overrides = {k: v for k, v in overrides.items() if k in known}
         if config is not None:
-            known = set(GHNConfig.__dataclass_fields__)
             cfg_kwargs = {k: v for k, v in dict(config).items() if k in known}
             cfg_kwargs.update(overrides)
             cfg = GHNConfig(**cfg_kwargs)
