@@ -133,6 +133,7 @@ class Trainer:
                  log_interval: int = 100,
                  mesh=None,
                  seed: int = 0,
+                 checkpoint_backend: str = 'npz',   # 'npz' | 'orbax'
                  verbose: bool = False):
         assert (ghn is None) != (model is None), 'pass exactly one of ghn / model'
         self.ghn = ghn
@@ -159,7 +160,9 @@ class Trainer:
         self.mesh = mesh
         self.verbose = verbose
         self.save_dir = save_dir
-        self.checkpoint_path = os.path.join(save_dir, 'checkpoint.npz') if save_dir else None
+        self.checkpoint_backend = checkpoint_backend
+        suffix = 'checkpoint.npz' if checkpoint_backend == 'npz' else 'checkpoint.orbax'
+        self.checkpoint_path = os.path.join(save_dir, suffix) if save_dir else None
 
         self.optimizer = optim_lib.make_optimizer(
             opt, lr=self.base_lr, weight_decay=float(self.opt_args.get('weight_decay', 0.0)),
@@ -360,6 +363,12 @@ class Trainer:
 
     def _write_checkpoint(self, path: str, epoch: int, step: int, config):
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        if self.checkpoint_backend == 'orbax':
+            from . import orbax_ckpt
+            orbax_ckpt.save(path, {k: np.asarray(v) for k, v in self._params().items()},
+                            opt_state=self.opt_state,
+                            meta={'epoch': epoch, 'step': step, 'config': config or {}})
+            return
         params = {k: np.asarray(v) for k, v in self._params().items()}
         flat, treedef = jax.tree_util.tree_flatten(self.opt_state)
         payload = dict(params)
@@ -373,6 +382,18 @@ class Trainer:
         os.replace(tmp, path)
 
     def load_checkpoint(self, path: str):
+        if self.checkpoint_backend == 'orbax':
+            from . import orbax_ckpt
+            import jax.numpy as _jnp
+            params, opt_state, meta = orbax_ckpt.restore(path)
+            self._set_params({k: _jnp.asarray(v) for k, v in params.items()})
+            if opt_state is not None:
+                self.opt_state = opt_state
+            self.start_epoch = int(meta.get('epoch', 0))
+            self.start_step = int(meta.get('step', 0))
+            log(f'resumed from {path} (orbax): epoch {self.start_epoch}, step {self.start_step}')
+            self._finish_resume()
+            return
         data = np.load(path, allow_pickle=True)
         meta = data['__meta__'].item()
         params = {k: jnp.asarray(data[k]) for k in data.files
@@ -388,6 +409,9 @@ class Trainer:
         self.start_epoch = int(meta['epoch'])
         self.start_step = int(meta['step'])
         log(f'resumed from {path}: epoch {self.start_epoch}, step {self.start_step}')
+        self._finish_resume()
+
+    def _finish_resume(self):
         # fast-forward the schedule and the resume point (reference trainer.py:215-229)
         if self.start_epoch > 0:
             self._epoch = self.start_epoch

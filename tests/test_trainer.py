@@ -106,3 +106,25 @@ def test_nan_skip():
     assert trainer.skipped_updates == 1
     for k in p0:
         np.testing.assert_array_equal(np.asarray(ghn.params[k]), p0[k])
+
+
+def test_checkpoint_orbax_backend(tmp_path):
+    ghn = GHN3(CFG, seed=1)
+    mb = _meta_batch(CFG)
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(8, 3, 8, 8)).astype(np.float32)
+    labels = rng.integers(0, 10, size=(8,))
+    trainer = Trainer(ghn=ghn, opt='adamw', opt_args={'lr': 1e-3}, scheduler='cosine',
+                      n_batches=4, epochs=2, save_dir=str(tmp_path),
+                      checkpoint_backend='orbax')
+    trainer.update(images, labels, meta_batch=mb)
+    trainer.save(epoch=0, step=3, config={'note': 'orbax'}, save_freq=300)
+    p0 = {k: np.asarray(v) for k, v in ghn.params.items()}
+
+    trainer2 = Trainer(ghn=GHN3(CFG, seed=2), opt='adamw', opt_args={'lr': 1e-3},
+                       scheduler='cosine', n_batches=4, epochs=2,
+                       save_dir=str(tmp_path), checkpoint_backend='orbax')
+    for k in p0:
+        np.testing.assert_allclose(np.asarray(trainer2._params()[k]), p0[k],
+                                   err_msg=f'{k} not restored (orbax)')
+    assert trainer2.start_epoch == 1  # step==n_batches-1 -> next epoch
