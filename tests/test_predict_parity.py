@@ -76,3 +76,27 @@ def test_batched_equals_individual(pair):
         for (k, pa), (_, pb) in zip(a.named_parameters(), b.named_parameters()):
             np.testing.assert_allclose(pa.detach().numpy(), pb.detach().numpy(), atol=1e-5,
                                        err_msg=f'batched != individual for {k}')
+
+
+def test_predict_class_layers_false(pair):
+    """Fine-tuning mode: classification weight/bias stay untouched (reference
+    nn.py:301-302)."""
+    ref_ghn, our_ghn = pair
+    torch.manual_seed(0)
+    model_ref = ZOO['plain_cnn']()
+    model_ours = copy.deepcopy(model_ref)
+    before = {k: v.detach().numpy().copy() for k, v in model_ours.named_parameters()}
+
+    with torch.no_grad():
+        ref_ghn(model_ref, keep_grads=False, reduce_graph=False,
+                predict_class_layers=False)
+    our_ghn(model_ours, predict_class_layers=False)
+
+    p_ref = _params(model_ref)
+    p_ours = _params(model_ours)
+    for k in p_ref:
+        np.testing.assert_allclose(p_ours[k], p_ref[k], atol=1e-5, rtol=1e-4,
+                                   err_msg=k)
+    # the classifier tensors were not predicted
+    np.testing.assert_array_equal(p_ours['fc.weight'], before['fc.weight'])
+    np.testing.assert_array_equal(p_ours['fc.bias'], before['fc.bias'])
