@@ -119,15 +119,14 @@ def _autograd_walk(model, input_sz):
     """Walk grad_fn graph backward from the output. Returns (nodes, A)."""
     import torch
 
-    # param identity -> (name, owning module)
+    # param identity -> (name, owning module); for tied weights the LAST name
+    # wins (reference _named_modules dict iteration order, graph.py:400,917-925)
     param_map = {}
     for mod_name, m in model.named_modules():
         for p_name, p in m.named_parameters(recurse=False):
             if p is None:
                 continue
-            key = mod_name + '.' + p_name
-            if id(p) not in param_map:
-                param_map[id(p)] = (key, m)
+            param_map[id(p)] = (mod_name + '.' + p_name, m)
 
     nodes: Dict[str, _Node] = {}
     edges: List[Tuple[str, str]] = []

@@ -298,6 +298,64 @@ class MiniMHANet(nn.Module):
         return self.head(self.ln2(x).mean(1))
 
 
+
+class TiedWeightNet(nn.Module):
+    """Two modules sharing one weight tensor (reference warns and keeps the
+    first name, graph.py:930-936)."""
+
+    def __init__(self, c=8, num_classes=10):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, c, 3, padding=1, bias=False)
+        self.bn1 = nn.BatchNorm2d(c)
+        self.conv2 = nn.Conv2d(c, c, 3, padding=1, bias=False)
+        self.conv3 = nn.Conv2d(c, c, 3, padding=1, bias=False)
+        self.conv3.weight = self.conv2.weight  # tie
+        self.bn2 = nn.BatchNorm2d(c)
+        self.fc = nn.Linear(c, num_classes)
+        self.expected_input_sz = 32
+
+    def forward(self, x):
+        x = F.relu(self.bn1(self.conv1(x)))
+        x = F.relu(self.conv2(x))
+        x = F.relu(self.bn2(self.conv3(x)))
+        return self.fc(x.mean(dim=(2, 3)))
+
+
+class TupleOutputNet(nn.Module):
+    """Auxiliary head -> tuple output (inception-style; tracer walks every output)."""
+
+    def __init__(self, c=8, num_classes=10):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, c, 3, padding=1, bias=False)
+        self.bn1 = nn.BatchNorm2d(c)
+        self.conv2 = nn.Conv2d(c, c, 3, stride=2, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(c)
+        self.fc = nn.Linear(c, num_classes)
+        self.aux_fc = nn.Linear(c, num_classes)
+        self.expected_input_sz = 32
+
+    def forward(self, x):
+        x = F.relu(self.bn1(self.conv1(x)))
+        aux = self.aux_fc(x.mean(dim=(2, 3)))
+        x = F.relu(self.bn2(self.conv2(x)))
+        return self.fc(x.mean(dim=(2, 3))), aux
+
+
+class NoBiasHead(nn.Module):
+    """Classifier without bias: the last-weight node is also the last node."""
+
+    def __init__(self, c=8, num_classes=10):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, c, 3, padding=1, bias=False)
+        self.bn1 = nn.BatchNorm2d(c)
+        self.fc = nn.Linear(c, num_classes, bias=False)
+        self.expected_input_sz = 32
+
+    def forward(self, x):
+        x = F.relu(self.bn1(self.conv1(x)))
+        return self.fc(x.mean(dim=(2, 3)))
+
+
 ZOO = {
     'plain_cnn': lambda: PlainCNN(),
     'mini_resnet': lambda: MiniResNet(),
@@ -307,4 +365,7 @@ ZOO = {
     'mini_vit': lambda: MiniViT(),
     'mini_swin': lambda: SwinTransformer(),
     'mini_mha': lambda: MiniMHANet(),
+    'tied_weights': lambda: TiedWeightNet(),
+    'tuple_output': lambda: TupleOutputNet(),
+    'no_bias_head': lambda: NoBiasHead(),
 }
