@@ -30,7 +30,7 @@ def main():
     enable_persistent_cache()
     import jax as _jax
     from ghn3_tpu import GHN3, GHNConfig
-    from ghn3_tpu.graph.graphdef import GraphBatch, bucket_size
+    from ghn3_tpu.graph.graphdef import GraphBatch
     from ghn3_tpu.graph.torch_trace import trace_torch_model
     from ghn3_tpu.predict import predict_packed
     from ghn3_tpu.zoo.jax_zoo import JAX_ZOO

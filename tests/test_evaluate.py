@@ -68,3 +68,18 @@ def test_return_embeddings():
     _, emb = ghn(net, graphs=net.graph_def(), return_embeddings=True)
     assert emb.shape == (net.graph_def().n_nodes, CFG.hid)
     assert np.isfinite(emb).all()
+
+
+def test_reduce_graph_equivalence():
+    """reduce_graph only prunes matching bookkeeping; predictions are identical."""
+    ghn = GHN3(CFG, seed=0)
+    net_a, net_b = ConvNet(channels=(8, 16)), ConvNet(channels=(8, 16))
+    g = net_a.graph_def()
+    from ghn3_tpu.predict import predict_batch
+    predict_batch(ghn.params, CFG, GraphBatch.from_graphs([g]), [net_a.param_table()],
+                  reduce_graph=False)
+    predict_batch(ghn.params, CFG, GraphBatch.from_graphs([g]), [net_b.param_table()],
+                  reduce_graph=True)
+    for k in net_a.predicted:
+        np.testing.assert_allclose(np.asarray(net_a.predicted[k]),
+                                   np.asarray(net_b.predicted[k]), atol=1e-6, err_msg=k)
