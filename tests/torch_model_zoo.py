@@ -356,6 +356,64 @@ class NoBiasHead(nn.Module):
         return self.fc(x.mean(dim=(2, 3)))
 
 
+
+try:  # subclass torchvision's class so the reference's isinstance fix engages
+    from torchvision.models import SqueezeNet as _SqueezeBase
+except ImportError:  # pragma: no cover
+    _SqueezeBase = nn.Module
+
+
+class SqueezeNet(_SqueezeBase):
+    """Mini SqueezeNet: conv-1x1 classifier followed by global pooling — the
+    class (name) triggers the reference's node-reorder fix (graph.py:636-641)
+    and the 2d->4d parameter delivery path."""
+
+    def __init__(self, c=8, num_classes=10):
+        super().__init__()
+        self.features = nn.Sequential(
+            nn.Conv2d(3, c, 3, stride=2, padding=1),
+            nn.ReLU(inplace=True),
+            nn.Conv2d(c, c // 2, 1),   # squeeze
+            nn.ReLU(inplace=True),
+            nn.Conv2d(c // 2, c, 1),   # expand
+            nn.ReLU(inplace=True))
+        self.classifier = nn.Sequential(
+            nn.Dropout(0.5),
+            nn.Conv2d(c, num_classes, 1),
+            nn.ReLU(inplace=True))
+        self.expected_input_sz = 32
+
+    def forward(self, x):
+        x = self.classifier(self.features(x))
+        return torch.flatten(x.mean(dim=(2, 3)), 1)
+
+
+class MiniDenseNet(nn.Module):
+    """Dense connectivity: every layer concatenates all previous feature maps."""
+
+    def __init__(self, growth=4, layers=3, num_classes=10):
+        super().__init__()
+        self.stem = nn.Conv2d(3, growth, 3, padding=1, bias=False)
+        self.bns = nn.ModuleList()
+        self.convs = nn.ModuleList()
+        c = growth
+        for _ in range(layers):
+            self.bns.append(nn.BatchNorm2d(c))
+            self.convs.append(nn.Conv2d(c, growth, 3, padding=1, bias=False))
+            c += growth
+        self.bn_final = nn.BatchNorm2d(c)
+        self.fc = nn.Linear(c, num_classes)
+        self.expected_input_sz = 32
+
+    def forward(self, x):
+        feats = [self.stem(x)]
+        for bn, conv in zip(self.bns, self.convs):
+            x = torch.cat(feats, dim=1) if len(feats) > 1 else feats[0]
+            feats.append(conv(F.relu(bn(x))))
+        x = F.relu(self.bn_final(torch.cat(feats, dim=1)))
+        return self.fc(x.mean(dim=(2, 3)))
+
+
 ZOO = {
     'plain_cnn': lambda: PlainCNN(),
     'mini_resnet': lambda: MiniResNet(),
@@ -368,4 +426,6 @@ ZOO = {
     'tied_weights': lambda: TiedWeightNet(),
     'tuple_output': lambda: TupleOutputNet(),
     'no_bias_head': lambda: NoBiasHead(),
+    'mini_squeezenet': lambda: SqueezeNet(),
+    'mini_densenet': lambda: MiniDenseNet(),
 }
