@@ -76,7 +76,9 @@ def base_parser(mode: str) -> argparse.ArgumentParser:
         p.add_argument('--interm_epoch', type=int, default=5)
         p.add_argument('--log_interval', type=int, default=100)
     if mode in ('train_net', 'eval'):
-        p.add_argument('--arch', type=str, default='resnet50')
+        # eval defaults to sweeping the whole suite (reference eval_ghn behavior)
+        p.add_argument('--arch', type=str,
+                       default='resnet50' if mode == 'train_net' else None)
         p.add_argument('--split', type=str, default='torch',
                        choices=['torch', 'predefined', 'search', 'val', 'test',
                                 'wide', 'deep', 'dense', 'bnfree'])

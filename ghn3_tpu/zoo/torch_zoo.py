@@ -174,6 +174,39 @@ def vit_b_16(num_classes=1000, dim=768, depth=12, heads=12, patch=16):
     return ViT()
 
 
+def vgg16_bn(num_classes=1000):
+    """VGG-16 with batch norm (Simonyan & Zisserman 2014 layout)."""
+    torch, nn, F = _torch()
+    cfgs = [64, 64, 'M', 128, 128, 'M', 256, 256, 256, 'M', 512, 512, 512, 'M',
+            512, 512, 512, 'M']
+    layers = []
+    cin = 3
+    for v in cfgs:
+        if v == 'M':
+            layers.append(nn.MaxPool2d(2, 2))
+        else:
+            layers += [nn.Conv2d(cin, v, 3, padding=1), nn.BatchNorm2d(v),
+                       nn.ReLU(inplace=True)]
+            cin = v
+
+    class VGG(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = nn.Sequential(*layers)
+            self.avgpool = nn.AdaptiveAvgPool2d(1)
+            self.classifier = nn.Sequential(
+                nn.Linear(512, 4096), nn.ReLU(inplace=True), nn.Dropout(),
+                nn.Linear(4096, 4096), nn.ReLU(inplace=True), nn.Dropout(),
+                nn.Linear(4096, num_classes))
+            self.expected_input_sz = 224
+
+        def forward(self, x):
+            x = self.avgpool(self.features(x)).flatten(1)
+            return self.classifier(x)
+
+    return VGG()
+
+
 TORCH_ZOO = {
     'resnet18': resnet18,
     'resnet34': resnet34,
@@ -182,4 +215,5 @@ TORCH_ZOO = {
     'resnet152': resnet152,
     'wide_resnet50_2': wide_resnet50_2,
     'vit_b_16': vit_b_16,
+    'vgg16_bn': vgg16_bn,
 }
