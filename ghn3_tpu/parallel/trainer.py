@@ -72,10 +72,25 @@ def topk_correct(logits, labels, ks=(1, 5)):
 
 def mixup(rng: np.random.Generator, images: np.ndarray, labels: np.ndarray,
           num_classes: int, alpha: float = 0.1, cutmix_alpha: float = 1.0):
-    """Host-side mixup/cutmix producing soft targets (reference uses timm Mixup)."""
-    lam = float(rng.beta(alpha, alpha)) if alpha > 0 else 1.0
+    """Host-side mixup/cutmix with soft targets (the reference uses timm
+    Mixup(mixup_alpha=0.1, cutmix_alpha=1.0), which picks one of the two per
+    batch — trainer.py:96)."""
     perm = rng.permutation(len(images))
-    mixed = lam * images + (1 - lam) * images[perm]
+    use_cutmix = cutmix_alpha > 0 and rng.random() < 0.5
+    if use_cutmix:
+        lam = float(rng.beta(cutmix_alpha, cutmix_alpha))
+        h, w = images.shape[2], images.shape[3]
+        cut = np.sqrt(1.0 - lam)
+        ch, cw = int(h * cut), int(w * cut)
+        cy, cx = int(rng.integers(h)), int(rng.integers(w))
+        y0, y1_ = np.clip(cy - ch // 2, 0, h), np.clip(cy + ch // 2, 0, h)
+        x0, x1_ = np.clip(cx - cw // 2, 0, w), np.clip(cx + cw // 2, 0, w)
+        mixed = images.copy()
+        mixed[:, :, y0:y1_, x0:x1_] = images[perm][:, :, y0:y1_, x0:x1_]
+        lam = 1.0 - (y1_ - y0) * (x1_ - x0) / (h * w)
+    else:
+        lam = float(rng.beta(alpha, alpha)) if alpha > 0 else 1.0
+        mixed = lam * images + (1 - lam) * images[perm]
     y1 = np.eye(num_classes, dtype=np.float32)[labels]
     y2 = y1[perm]
     return mixed.astype(images.dtype), lam * y1 + (1 - lam) * y2

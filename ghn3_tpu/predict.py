@@ -3,16 +3,20 @@
 Pipeline (reference stack 3.1 in SURVEY.md, redesigned for TPU):
 
   host:   match graph nodes to target params, build shape indices + a static
-          DecodePlan (groups keyed by canonical decode shape)
-  device: graphormer forward over the padded batch (one XLA program per bucket),
-          batched per-shape-key decode (one program per (key, group-bucket))
-  host / in-trace: tile/normalize each tensor to its exact target shape
+          DecodePlan (groups keyed by canonical decode shape, items sorted so
+          identical target shapes form vectorizable runs)
+  device: graphormer forward over the padded batch (one XLA program per bucket);
+          decode + tile + normalize fused per plan signature
 
-Two execution modes share the same plan:
-  * eval mode (``predict_batch``): decoded groups are fetched to host and
-    assembled with numpy — cheap, and keeps torch interop simple.
-  * traced mode (``run_plan`` with jnp arrays): everything stays in-graph and
-    differentiable, used by the meta-training step.
+Three execution modes share the same plan:
+  * ``predict_packed`` (functional JAX targets): one fused program emits a
+    single packed buffer that never leaves the device; targets get lazy
+    PackedParams views (zero host copies).
+  * ``predict_batch``/``run_plan`` with ``to_host=True`` (torch targets): the
+    COMPACT decoded groups are fetched once (~50x smaller than the tiled
+    parameters) and tiled/normalized with numpy on the host.
+  * ``run_plan(traced=True)`` inside the training step: the same ops inline
+    into the enclosing trace, differentiable end to end.
 
 Decode-group gathers use per-graph slab offsets (b * N_pad + node), so batched
 prediction is identical to per-model prediction (see GraphBatch docstring for the
