@@ -1,0 +1,53 @@
+"""CLI entry points: end-to-end smoke runs as subprocesses (CPU, tiny configs)."""
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, timeout=420):
+    env = dict(os.environ)
+    env.pop('JAX_PLATFORMS', None)
+    out = subprocess.run([sys.executable] + args, cwd=REPO, env=env,
+                         capture_output=True, text=True, timeout=timeout)
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    return out.stdout
+
+
+def test_train_ghn_cli(tmp_path):
+    out = _run(['cli/train_ghn.py', '-d', 'synthetic', '-e', '1', '-m', '2',
+                '--hid', '16', '--heads', '2', '--layers', '1', '--ln',
+                '--weight_norm', '-b', '16', '--save', str(tmp_path),
+                '--name', 'smoke', '--max_steps', '2', '--pool_size', '1',
+                '--platform', 'cpu', '--log_interval', '1'])
+    assert 'done' in out
+    assert 'loss=' in out
+
+
+def test_train_net_cli_with_ghn_init(tmp_path):
+    # save a tiny GHN checkpoint, then train a convnet from its predicted init
+    code = ("import jax; jax.config.update('jax_platforms','cpu');"
+            "from ghn3_tpu import GHN3, GHNConfig;"
+            "GHN3(GHNConfig(hid=16, heads=2, layers=1, max_shape=(16,16,11,11),"
+            "num_classes=10), seed=0).save(r'%s')" % (tmp_path / 'ghn.npz'))
+    _run(['-c', code])
+    out = _run(['cli/train_net.py', '-d', 'synthetic', '--arch', 'convnet',
+                '-e', '1', '-b', '16', '--lr', '0.05', '--save', str(tmp_path),
+                '--name', 'smoke2', '--max_steps', '2',
+                '--ckpt', str(tmp_path / 'ghn.npz'),
+                '--platform', 'cpu', '--log_interval', '1'])
+    assert 'initialized' in out and 'done' in out
+
+
+def test_convert_ckpt_cli(tmp_path):
+    code = ("import jax; jax.config.update('jax_platforms','cpu');"
+            "from ghn3_tpu import GHN3, GHNConfig;"
+            "GHN3(GHNConfig(hid=16, heads=2, layers=1, max_shape=(16,16,11,11),"
+            "num_classes=10), seed=0).save(r'%s')" % (tmp_path / 'a.npz'))
+    _run(['-c', code])
+    out = _run(['cli/convert_ckpt.py', str(tmp_path / 'a.npz'), str(tmp_path / 'b.npz')])
+    assert 'converted' in out
+    assert os.path.exists(tmp_path / 'b.npz')
