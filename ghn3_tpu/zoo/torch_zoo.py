@@ -207,6 +207,227 @@ def vgg16_bn(num_classes=1000):
     return VGG()
 
 
+
+
+
+def mobilenet_v2(num_classes=1000, width_mult=1.0):
+    """MobileNetV2 (Sandler et al. 2018): inverted residuals, depthwise convs."""
+    torch, nn, F = _torch()
+
+    def c_round(c):
+        c = int(c * width_mult)
+        return max(8, (c + 4) // 8 * 8)
+
+    class ConvBNReLU(nn.Sequential):
+        def __init__(self, cin, cout, k=3, stride=1, groups=1):
+            super().__init__(
+                nn.Conv2d(cin, cout, k, stride, k // 2, groups=groups, bias=False),
+                nn.BatchNorm2d(cout),
+                nn.ReLU6(inplace=True))
+
+    class InvertedResidual(nn.Module):
+        def __init__(self, cin, cout, stride, expand):
+            super().__init__()
+            hidden = int(round(cin * expand))
+            self.use_res = stride == 1 and cin == cout
+            layers = []
+            if expand != 1:
+                layers.append(ConvBNReLU(cin, hidden, k=1))
+            layers += [ConvBNReLU(hidden, hidden, stride=stride, groups=hidden),
+                       nn.Conv2d(hidden, cout, 1, bias=False),
+                       nn.BatchNorm2d(cout)]
+            self.conv = nn.Sequential(*layers)
+
+        def forward(self, x):
+            return x + self.conv(x) if self.use_res else self.conv(x)
+
+    cfg = [(1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+           (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1)]
+
+    class MobileNetV2(nn.Module):
+        def __init__(self):
+            super().__init__()
+            cin = c_round(32)
+            feats = [ConvBNReLU(3, cin, stride=2)]
+            for t, c, n, s in cfg:
+                cout = c_round(c)
+                for i in range(n):
+                    feats.append(InvertedResidual(cin, cout, s if i == 0 else 1, t))
+                    cin = cout
+            last = c_round(1280)
+            feats.append(ConvBNReLU(cin, last, k=1))
+            self.features = nn.Sequential(*feats)
+            self.classifier = nn.Sequential(nn.Dropout(0.2), nn.Linear(last, num_classes))
+            self.expected_input_sz = 224
+
+        def forward(self, x):
+            x = self.features(x).mean(dim=(2, 3))
+            return self.classifier(x)
+
+    return MobileNetV2()
+
+
+def squeezenet1_1(num_classes=1000):
+    """SqueezeNet 1.1 (Iandola et al. 2016): fire modules, conv classifier."""
+    torch, nn, F = _torch()
+
+    class Fire(nn.Module):
+        def __init__(self, cin, squeeze, e1, e3):
+            super().__init__()
+            self.squeeze = nn.Conv2d(cin, squeeze, 1)
+            self.expand1x1 = nn.Conv2d(squeeze, e1, 1)
+            self.expand3x3 = nn.Conv2d(squeeze, e3, 3, padding=1)
+
+        def forward(self, x):
+            x = F.relu(self.squeeze(x))
+            return torch.cat([F.relu(self.expand1x1(x)), F.relu(self.expand3x3(x))], 1)
+
+    try:  # subclass torchvision's class when present so isinstance-based
+        # tooling (including the reference implementation) recognizes it
+        from torchvision.models import SqueezeNet as _SqueezeBase
+    except ImportError:
+        _SqueezeBase = nn.Module
+
+    class SqueezeNet(_SqueezeBase):
+        def __init__(self):
+            nn.Module.__init__(self)
+            self.features = nn.Sequential(
+                nn.Conv2d(3, 64, 3, stride=2), nn.ReLU(inplace=True),
+                nn.MaxPool2d(3, stride=2, ceil_mode=True),
+                Fire(64, 16, 64, 64), Fire(128, 16, 64, 64),
+                nn.MaxPool2d(3, stride=2, ceil_mode=True),
+                Fire(128, 32, 128, 128), Fire(256, 32, 128, 128),
+                nn.MaxPool2d(3, stride=2, ceil_mode=True),
+                Fire(256, 48, 192, 192), Fire(384, 48, 192, 192),
+                Fire(384, 64, 256, 256), Fire(512, 64, 256, 256))
+            self.classifier = nn.Sequential(
+                nn.Dropout(0.5), nn.Conv2d(512, num_classes, 1), nn.ReLU(inplace=True))
+            self.expected_input_sz = 224
+
+        def forward(self, x):
+            x = self.classifier(self.features(x))
+            return torch.flatten(x.mean(dim=(2, 3)), 1)
+
+    return SqueezeNet()
+
+
+def densenet121(num_classes=1000, growth=32):
+    """DenseNet-121 (Huang et al. 2017): dense blocks + transition layers."""
+    torch, nn, F = _torch()
+
+    class DenseLayer(nn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.norm1 = nn.BatchNorm2d(cin)
+            self.conv1 = nn.Conv2d(cin, 4 * growth, 1, bias=False)
+            self.norm2 = nn.BatchNorm2d(4 * growth)
+            self.conv2 = nn.Conv2d(4 * growth, growth, 3, padding=1, bias=False)
+
+        def forward(self, x):
+            y = self.conv1(F.relu(self.norm1(x)))
+            return self.conv2(F.relu(self.norm2(y)))
+
+    class DenseBlock(nn.Module):
+        def __init__(self, cin, n):
+            super().__init__()
+            self.layers = nn.ModuleList(DenseLayer(cin + i * growth) for i in range(n))
+
+        def forward(self, x):
+            feats = [x]
+            for layer in self.layers:
+                feats.append(layer(torch.cat(feats, 1) if len(feats) > 1 else feats[0]))
+            return torch.cat(feats, 1)
+
+    class Transition(nn.Sequential):
+        def __init__(self, cin, cout):
+            super().__init__(nn.BatchNorm2d(cin), nn.ReLU(inplace=True),
+                             nn.Conv2d(cin, cout, 1, bias=False),
+                             nn.AvgPool2d(2, stride=2))
+
+    class DenseNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            c = 64
+            feats = [nn.Conv2d(3, c, 7, stride=2, padding=3, bias=False),
+                     nn.BatchNorm2d(c), nn.ReLU(inplace=True),
+                     nn.MaxPool2d(3, stride=2, padding=1)]
+            for i, n in enumerate((6, 12, 24, 16)):
+                feats.append(DenseBlock(c, n))
+                c += n * growth
+                if i < 3:
+                    feats.append(Transition(c, c // 2))
+                    c //= 2
+            feats.append(nn.BatchNorm2d(c))
+            self.features = nn.Sequential(*feats)
+            self.classifier = nn.Linear(c, num_classes)
+            self.expected_input_sz = 224
+
+        def forward(self, x):
+            x = F.relu(self.features(x)).mean(dim=(2, 3))
+            return self.classifier(x)
+
+    return DenseNet()
+
+
+def efficientnet_b0ish(num_classes=1000):
+    """EfficientNet-style MBConv net with squeeze-excite (exercises the CSE path
+    at full scale: sigmoid gating + depthwise convs)."""
+    torch, nn, F = _torch()
+
+    class SE(nn.Module):
+        def __init__(self, c, r=4):
+            super().__init__()
+            self.fc1 = nn.Conv2d(c, max(1, c // r), 1)
+            self.fc2 = nn.Conv2d(max(1, c // r), c, 1)
+
+        def forward(self, x):
+            s = x.mean(dim=(2, 3), keepdim=True)
+            s = torch.sigmoid(self.fc2(F.silu(self.fc1(s))))
+            return x * s
+
+    class MBConv(nn.Module):
+        def __init__(self, cin, cout, stride, expand, k=3):
+            super().__init__()
+            hidden = cin * expand
+            self.use_res = stride == 1 and cin == cout
+            layers = []
+            if expand != 1:
+                layers += [nn.Conv2d(cin, hidden, 1, bias=False),
+                           nn.BatchNorm2d(hidden), nn.SiLU(inplace=True)]
+            layers += [nn.Conv2d(hidden, hidden, k, stride, k // 2, groups=hidden, bias=False),
+                       nn.BatchNorm2d(hidden), nn.SiLU(inplace=True),
+                       SE(hidden),
+                       nn.Conv2d(hidden, cout, 1, bias=False), nn.BatchNorm2d(cout)]
+            self.block = nn.Sequential(*layers)
+
+        def forward(self, x):
+            return x + self.block(x) if self.use_res else self.block(x)
+
+    cfg = [(1, 16, 1, 1, 3), (6, 24, 2, 2, 3), (6, 40, 2, 2, 5), (6, 80, 3, 2, 3),
+           (6, 112, 3, 1, 5), (6, 192, 4, 2, 5), (6, 320, 1, 1, 3)]
+
+    class EffNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            feats = [nn.Conv2d(3, 32, 3, stride=2, padding=1, bias=False),
+                     nn.BatchNorm2d(32), nn.SiLU(inplace=True)]
+            cin = 32
+            for t, c, n, s, k in cfg:
+                for i in range(n):
+                    feats.append(MBConv(cin, c, s if i == 0 else 1, t, k))
+                    cin = c
+            feats += [nn.Conv2d(cin, 1280, 1, bias=False), nn.BatchNorm2d(1280),
+                      nn.SiLU(inplace=True)]
+            self.features = nn.Sequential(*feats)
+            self.classifier = nn.Linear(1280, num_classes)
+            self.expected_input_sz = 224
+
+        def forward(self, x):
+            return self.classifier(self.features(x).mean(dim=(2, 3)))
+
+    return EffNet()
+
+
 TORCH_ZOO = {
     'resnet18': resnet18,
     'resnet34': resnet34,
@@ -216,4 +437,8 @@ TORCH_ZOO = {
     'wide_resnet50_2': wide_resnet50_2,
     'vit_b_16': vit_b_16,
     'vgg16_bn': vgg16_bn,
+    'mobilenet_v2': mobilenet_v2,
+    'squeezenet1_1': squeezenet1_1,
+    'densenet121': densenet121,
+    'efficientnet_b0ish': efficientnet_b0ish,
 }
