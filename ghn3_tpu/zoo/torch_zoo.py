@@ -428,6 +428,64 @@ def efficientnet_b0ish(num_classes=1000):
     return EffNet()
 
 
+
+
+
+def convnext_tiny_ish(num_classes=1000, dims=(96, 192, 384, 768), depths=(2, 2, 4, 2)):
+    """ConvNeXt-style stages (Liu et al. 2022): depthwise 7x7 + LayerNorm2d +
+    pointwise MLP + layer_scale. layer_scale tensors are bare parameters that the
+    GHN does not predict (same as the reference — they stay at their init)."""
+    torch, nn, F = _torch()
+
+    try:  # the exact torchvision class when present (type-keyed tooling,
+        # including the reference MODULES table, requires the exact type)
+        from torchvision.models import convnext as _cn
+        LayerNorm2d = _cn.LayerNorm2d
+    except ImportError:
+        class LayerNorm2d(nn.LayerNorm):
+            """Channel-wise LN on NCHW maps (recognized as the 'ln' primitive)."""
+
+            def forward(self, x):
+                x = x.permute(0, 2, 3, 1)
+                x = super().forward(x)
+                return x.permute(0, 3, 1, 2)
+
+    class Block(nn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.dwconv = nn.Conv2d(dim, dim, 7, padding=3, groups=dim)
+            self.norm = nn.LayerNorm(dim)
+            self.pwconv1 = nn.Linear(dim, 4 * dim)
+            self.pwconv2 = nn.Linear(4 * dim, dim)
+            self.layer_scale = nn.Parameter(1e-6 * torch.ones(dim))
+
+        def forward(self, x):
+            y = self.dwconv(x).permute(0, 2, 3, 1)
+            y = self.pwconv2(F.gelu(self.pwconv1(self.norm(y))))
+            y = (self.layer_scale * y).permute(0, 3, 1, 2)
+            return x + y
+
+    class ConvNeXt(nn.Module):
+        def __init__(self):
+            super().__init__()
+            stages = [nn.Conv2d(3, dims[0], 4, stride=4), LayerNorm2d(dims[0])]
+            for i, (d, n) in enumerate(zip(dims, depths)):
+                if i > 0:
+                    stages += [LayerNorm2d(dims[i - 1]),
+                               nn.Conv2d(dims[i - 1], d, 2, stride=2)]
+                stages += [Block(d) for _ in range(n)]
+            self.features = nn.Sequential(*stages)
+            self.norm = nn.LayerNorm(dims[-1])
+            self.head = nn.Linear(dims[-1], num_classes)
+            self.expected_input_sz = 224
+
+        def forward(self, x):
+            x = self.features(x).mean(dim=(2, 3))
+            return self.head(self.norm(x))
+
+    return ConvNeXt()
+
+
 TORCH_ZOO = {
     'resnet18': resnet18,
     'resnet34': resnet34,
@@ -441,4 +499,5 @@ TORCH_ZOO = {
     'squeezenet1_1': squeezenet1_1,
     'densenet121': densenet121,
     'efficientnet_b0ish': efficientnet_b0ish,
+    'convnext_tiny_ish': convnext_tiny_ish,
 }

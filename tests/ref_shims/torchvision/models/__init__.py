@@ -33,4 +33,9 @@ class vision_transformer:
 
 class convnext:
     class LayerNorm2d(nn.LayerNorm):
-        pass
+        """Channel-wise LN over NCHW maps (torchvision.models.convnext semantics)."""
+
+        def forward(self, x):
+            x = x.permute(0, 2, 3, 1)
+            x = super().forward(x)
+            return x.permute(0, 3, 1, 2)

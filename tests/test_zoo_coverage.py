@@ -55,3 +55,25 @@ def test_zoo_graph_matches_reference(name):
     assert ours.n_nodes == ref.n_nodes, name
     np.testing.assert_array_equal(ours.node_op, ref.node_feat.numpy().reshape(-1))
     np.testing.assert_array_equal(ours.adj, ref._Adj.numpy())
+
+
+@pytest.mark.skipif(not reference_available(), reason='reference repo not mounted')
+def test_convnext_partial_coverage_matches_reference():
+    """ConvNeXt layer_scale tensors are bare parameters neither implementation
+    predicts; everything else is covered, and graphs match."""
+    enable_reference_import()
+    from ghn3.graph import Graph
+    from ghn3_tpu.zoo.torch_zoo import convnext_tiny_ish
+    torch.manual_seed(0)
+    m = convnext_tiny_ish(num_classes=10, dims=(16, 32, 64, 128), depths=(1, 1, 2, 1))
+    m.expected_input_sz = 64
+    ref = Graph(copy.deepcopy(m))
+    ours = trace_torch_model(m)
+    np.testing.assert_array_equal(ours.adj, ref._Adj.numpy())
+    np.testing.assert_array_equal(ours.node_op, ref.node_feat.numpy().reshape(-1))
+
+    plan = build_plan(GraphBatch.from_graphs([ours]), [torch_param_table(m)], CFG)
+    stats = plan_stats(plan)
+    total = sum(p.numel() for p in m.parameters())
+    ls = sum(p.numel() for n, p in m.named_parameters() if 'layer_scale' in n)
+    assert stats['n_params_pred'] == total - ls
