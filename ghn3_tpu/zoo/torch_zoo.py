@@ -486,6 +486,76 @@ def convnext_tiny_ish(num_classes=1000, dims=(96, 192, 384, 768), depths=(2, 2, 
     return ConvNeXt()
 
 
+
+
+
+def inception_v3ish(num_classes=1000, c=32):
+    """Inception-v3-style net: parallel mixed blocks, 299x299 inputs, auxiliary
+    classifier tuple output in training mode (the reference special-cases
+    Inception3: 299px tracing input and aux handling, graph.py:325, eval_ghn)."""
+    torch, nn, F = _torch()
+    try:  # subclass torchvision's class so isinstance-gated handling engages
+        from torchvision.models import Inception3 as _InceptionBase
+    except ImportError:
+        _InceptionBase = nn.Module
+
+    class BasicConv(nn.Module):
+        def __init__(self, cin, cout, **kw):
+            super().__init__()
+            self.conv = nn.Conv2d(cin, cout, bias=False, **kw)
+            self.bn = nn.BatchNorm2d(cout)
+
+        def forward(self, x):
+            return F.relu(self.bn(self.conv(x)), inplace=True)
+
+    class Mixed(nn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            b = cout // 4
+            self.branch1x1 = BasicConv(cin, b, kernel_size=1)
+            self.branch5x5 = nn.Sequential(BasicConv(cin, b, kernel_size=1),
+                                           BasicConv(b, b, kernel_size=5, padding=2))
+            self.branch3x3 = nn.Sequential(BasicConv(cin, b, kernel_size=1),
+                                           BasicConv(b, b, kernel_size=3, padding=1))
+            self.branch_pool = BasicConv(cin, cout - 3 * b, kernel_size=1)
+
+        def forward(self, x):
+            pool = F.avg_pool2d(x, 3, stride=1, padding=1)
+            return torch.cat([self.branch1x1(x), self.branch5x5(x),
+                              self.branch3x3(x), self.branch_pool(pool)], 1)
+
+    class InceptionAux(nn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.conv = BasicConv(cin, 4 * c, kernel_size=1)
+            self.fc = nn.Linear(4 * c, num_classes)
+
+        def forward(self, x):
+            x = F.adaptive_avg_pool2d(self.conv(x), 1).flatten(1)
+            return self.fc(x)
+
+    class Inception3(_InceptionBase):
+        def __init__(self):
+            nn.Module.__init__(self)
+            self.stem = nn.Sequential(BasicConv(3, c, kernel_size=3, stride=2),
+                                      BasicConv(c, 2 * c, kernel_size=3, stride=2, padding=1),
+                                      nn.MaxPool2d(3, stride=2))
+            self.mixed1 = Mixed(2 * c, 4 * c)
+            self.mixed2 = Mixed(4 * c, 8 * c)
+            self.AuxLogits = InceptionAux(8 * c)
+            self.mixed3 = Mixed(8 * c, 8 * c)
+            self.fc = nn.Linear(8 * c, num_classes)
+
+        def forward(self, x):
+            x = self.mixed2(self.mixed1(self.stem(x)))
+            aux = self.AuxLogits(x) if self.training else None
+            x = self.mixed3(x)
+            logits = self.fc(x.mean(dim=(2, 3)))
+            return (logits, aux) if self.training else logits
+
+    return Inception3()
+
+
 TORCH_ZOO = {
     'resnet18': resnet18,
     'resnet34': resnet34,
@@ -500,4 +570,5 @@ TORCH_ZOO = {
     'densenet121': densenet121,
     'efficientnet_b0ish': efficientnet_b0ish,
     'convnext_tiny_ish': convnext_tiny_ish,
+    'inception_v3ish': inception_v3ish,
 }

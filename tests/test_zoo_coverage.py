@@ -19,15 +19,20 @@ from ghn3_tpu.zoo.torch_zoo import TORCH_ZOO
 CFG = GHNConfig(hid=16, heads=2, layers=1, max_shape=(16, 16, 11, 11), num_classes=10)
 
 ARCHS = ['mobilenet_v2', 'squeezenet1_1', 'densenet121', 'efficientnet_b0ish',
-         'vgg16_bn', 'resnet50', 'vit_b_16']
+         'vgg16_bn', 'resnet50', 'vit_b_16', 'inception_v3ish']
 
 
 def _small(name):
     kwargs = {'num_classes': 10}
     if name == 'vit_b_16':
         kwargs.update(dim=32, depth=2, heads=2, patch=8)
+    if name == 'inception_v3ish':
+        kwargs.update(c=8)
     m = TORCH_ZOO[name](**kwargs)
-    m.expected_input_sz = 64 if name != 'vit_b_16' else 32
+    if name == 'vit_b_16':
+        m.expected_input_sz = 32
+    elif name != 'inception_v3ish':   # inception keeps its 299px default
+        m.expected_input_sz = 64
     return m
 
 
@@ -44,7 +49,7 @@ def test_all_params_predictable(name):
 
 @pytest.mark.skipif(not reference_available(), reason='reference repo not mounted')
 @pytest.mark.parametrize('name', ['mobilenet_v2', 'squeezenet1_1', 'densenet121',
-                                  'efficientnet_b0ish', 'vgg16_bn'])
+                                  'efficientnet_b0ish', 'vgg16_bn', 'inception_v3ish'])
 def test_zoo_graph_matches_reference(name):
     enable_reference_import()
     from ghn3.graph import Graph
