@@ -322,6 +322,12 @@ class Network(FModule):
         self.genotype = genotype
         self.num_classes = num_classes
         self.expected_input_sz = 224 if is_imagenet_input else 32
+        self._graph_args = dict(C=C, num_classes=num_classes, n_cells=n_cells, ks=ks,
+                                is_imagenet_input=is_imagenet_input, stem_pool=stem_pool,
+                                stem_type=stem_type, imagenet_stride=imagenet_stride,
+                                is_vit=is_vit, norm=norm, preproc=preproc, C_mult=C_mult,
+                                fc_layers=fc_layers, fc_dim=fc_dim, glob_avg=glob_avg,
+                                auxiliary=auxiliary)
         self._n_cells = n_cells
         self._is_vit = (sum(n[0] == 'msa' for n in genotype.normal + genotype.reduce) > 0
                         if is_vit is None else is_vit)
@@ -426,6 +432,14 @@ class Network(FModule):
     # ------------------------------------------------------------------
     # GHN target protocol
     # ------------------------------------------------------------------
+    def graph_def(self, ve_cutoff: int = 50):
+        """Constructive computational graph — no tracing, no torch
+        (nets/darts_graph.py; verified against traced twin graphs)."""
+        from .darts_graph import build_genotype_graph
+        g = build_genotype_graph(self.genotype, ve_cutoff=ve_cutoff, **self._graph_args)
+        g.net = self
+        return g
+
     def param_shapes(self) -> Dict[str, tuple]:
         return {name: shape for name, shape, _ in self.named_params()}
 
