@@ -1,22 +1,35 @@
 """DeepNets-1M dataset pipeline: hdf5-backed architecture sampler for GHN
 meta-training and eval splits.
 
-Replaces the reference DeepNets1MDDP loader (/root/reference/ghn3/deepnets1m.py):
-reads stored (adjacency, nodes) records, applies the same decode fixes
-(stem rewiring, multi-input pruning, virtual-edge recompute), randomizes widths
-("wider_nets"), and attaches a functional JAX Network skeleton per graph.
+Replaces the reference DeepNets1MDDP loader (/root/reference/ghn3/deepnets1m.py)
+AND the external ppuda DeepNets1M base it inherits (SURVEY §2.9): reads stored
+(adjacency, nodes) records, applies the same decode fixes (stem rewiring,
+multi-input pruning, virtual-edge recompute), randomizes widths ("wider_nets"),
+and attaches a functional JAX Network skeleton per graph.
 
-Storage layout (see tests/make_deepnets_fixture.py for a generator):
-  deepnets1m_<split>.hdf5:  h5[split][str(idx)]['adj' | 'nodes']
-      adj:   [N, N] uint8/int — shortest-path distances (virtual edges baked in)
+Published ppuda file layout (pinned by the reference's own h5 access at
+deepnets1m.py:90-91,144 and metadata access at deepnets1m.py:95-133; the
+metadata JSON nesting is reconstructed from ppuda call sites — zero-egress
+environment, so field aliases are accepted liberally):
+
+  deepnets1m_train.hdf5 / deepnets1m_search.hdf5 / deepnets1m_eval.hdf5:
+      h5[<split>][str(h5_idx)]['adj' | 'nodes']
+      adj:   [N, N] small-int — 1-hop adjacency with virtual-edge shortest-path
+             distances baked in (values > 1)
       nodes: [N, 3] int — (primitive_ext_id, cell_index, op_name_id)
-  deepnets1m_meta.json: {
-      split: {"nets": [net_args...]},
-      "meta": {"primitives_ext": {id: name}, "op_names_net": {id: name}}
-  }
+      the eval file holds one group per eval split (val/test/wide/deep/dense/bnfree)
+  deepnets1m_meta.json:
+      {<split>: {"nets": [net-arg records...],
+                 ["meta": {...}]},                 # per-split nesting, or
+       "meta": {"primitives_ext": {"<id>": name},  # top-level nesting
+                "op_names_net":  {"<id>": name}}}
+      net-arg record keys: genotype (dict), n_cells, norm, ks, preproc, glob_avg,
+      stem_pool, C_mult, fc_layers, C, fc_dim, stem_type,
+      num_params {"cifar10": int, "imagenet": int}, num_nodes (alias n_nodes).
 
-This matches the information content of the published ppuda dataset; an adapter
-for the original files only needs to remap metadata keys.
+Width-randomization pools follow ppuda: num_ch = 32..128 step 16,
+fc_dim = 64..512 step 64 (the reference samples the first 4 — "64-256" — in the
+restricted branch, deepnets1m.py:121).
 """
 
 from __future__ import annotations
@@ -34,6 +47,9 @@ from ..graph.shortest_paths import add_virtual_edges
 
 MAX_NODES_BATCH = 2200  # reference node-budget constant (ppuda loader surface)
 
+SPLITS = ('train', 'search', 'val', 'test', 'wide', 'deep', 'dense', 'bnfree',
+          'predefined')
+
 
 def _dict_to_list(d: Dict) -> List[Optional[str]]:
     out: List[Optional[str]] = [None] * (1 + max(int(k) for k in d))
@@ -42,13 +58,27 @@ def _dict_to_list(d: Dict) -> List[Optional[str]]:
     return out
 
 
+def _find_vocab(meta: dict, split: str, key: str) -> Dict:
+    """Locate a vocabulary table across the known metadata nestings."""
+    for container in (meta.get('meta', {}), meta.get(split, {}).get('meta', {}),
+                      meta):
+        if key in container:
+            return container[key]
+    raise KeyError(f'{key} not found in deepnets1m_meta.json '
+                   f'(looked in top-level "meta", "{split}.meta", root)')
+
+
 class DeepNets1M:
     """Dataset of computational graphs + target-net skeletons."""
 
     def __init__(self, split: str = 'train', nets_dir: str = './data',
                  virtual_edges: int = 50, num_nets: Optional[int] = None,
                  large_images: bool = False, wider_nets: bool = True,
-                 seed: int = 0, debug: bool = False):
+                 seed: int = 0, debug: bool = False, attach_net: bool = True):
+        assert split in SPLITS, (split, SPLITS)
+        # attach_net=False skips building the Network skeleton per item — the
+        # genotype-as-data executor needs only net_args (nets/interpreter.py)
+        self.attach_net = attach_net
         self.split = split
         self.is_train = split in ('train', 'search')
         self.virtual_edges = virtual_edges
@@ -63,17 +93,24 @@ class DeepNets1M:
         with open(meta_path) as f:
             meta = json.load(f)
         self.nets: List[dict] = meta[split]['nets']
-        if num_nets is not None:
+        # h5 records are addressed by position in the full metadata list; a
+        # num_nets subset keeps the original h5 indices (reference
+        # deepnets1m.py:96: `idx = self.h5_idx[idx] if self.h5_idx ...`)
+        self.h5_idx: Optional[List[int]] = None
+        if num_nets is not None and num_nets < len(self.nets):
             self.nets = self.nets[:num_nets]
-        self.primitives_ext = _dict_to_list(meta['meta']['primitives_ext'])
-        self.op_names_net = _dict_to_list(meta['meta']['op_names_net'])
+            self.h5_idx = list(range(num_nets))
+        self.primitives_ext = _dict_to_list(_find_vocab(meta, split, 'primitives_ext'))
+        self.op_names_net = _dict_to_list(_find_vocab(meta, split, 'op_names_net'))
         self.h5_data = None  # opened lazily per worker/process
 
-        # per-sample width/fc randomization pools (reference wider_nets semantics)
+        # per-sample width/fc randomization pools (ppuda loader surface; the
+        # restricted branches sample the first 2-5 entries, deepnets1m.py:113-124)
         self.num_ch = np.arange(32, 129, 16)
-        self.fc_dim = np.arange(64, 257, 64)
+        self.fc_dim = np.arange(64, 513, 64)
 
-        self.node_counts = np.array([args.get('n_nodes', 64) for args in self.nets])
+        self.node_counts = np.array([
+            args.get('num_nodes', args.get('n_nodes', 64)) for args in self.nets])
 
     def __len__(self) -> int:
         return len(self.nets)
@@ -136,17 +173,23 @@ class DeepNets1M:
             else:
                 net_args[key] = args[key]
 
-        rec = self.h5_data[self.split][str(idx)]
+        h5_key = self.h5_idx[idx] if self.h5_idx is not None else idx
+        rec = self.h5_data[self.split][str(h5_key)]
         graph = self.decode_record(np.asarray(rec['adj'][()]),
                                    np.asarray(rec['nodes'][()]), net_args)
         graph.net_idx = idx
 
-        if self.is_train and not self.debug:
+        if self.is_train and not self.debug and self.attach_net:
             from ..nets.darts import Network
             graph.net = Network(is_imagenet_input=self.large_images,
                                 num_classes=1000 if self.large_images else 10,
                                 **net_args)
         return graph
+
+    def interpreter_vocab(self):
+        """Op vocabulary of this dataset for the genotype-as-data executor."""
+        from ..nets.interpreter import vocab_from_primitives
+        return vocab_from_primitives([n for n in self.primitives_ext if n])
 
     # ------------------------------------------------------------------
     def decode_record(self, adj: np.ndarray, nodes: np.ndarray, net_args: dict) -> GraphDef:

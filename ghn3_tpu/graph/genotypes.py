@@ -32,6 +32,24 @@ def parse_op_ks(op: str):
     return op, 3
 
 
+def random_genotype(rng, steps: int = 2,
+                    ops=('sep_conv_3x3', 'conv_3x3', 'max_pool_3x3', 'skip_connect',
+                         'dil_conv_3x3', 'avg_pool_3x3', 'none'),
+                    reduce_steps=None) -> Genotype:
+    """Sample a DARTS-space genotype: 2 ops per step, inputs drawn from earlier
+    states, concat of all intermediate states (the DeepNets-1M generator family,
+    ppuda surface SURVEY §2.9)."""
+    reduce_steps = steps if reduce_steps is None else reduce_steps
+
+    def cell_ops(n):
+        return [(str(rng.choice(list(ops))), int(rng.integers(0, i // 2 + 2)))
+                for i in range(2 * n)]
+
+    return Genotype(normal=cell_ops(steps), normal_concat=list(range(2, steps + 2)),
+                    reduce=cell_ops(reduce_steps),
+                    reduce_concat=list(range(2, reduce_steps + 2)))
+
+
 # The ViT genotype used by DeepNets-1M for pure-transformer nets.
 VIT = Genotype(normal=[('msa', 0), ('skip_connect', 1)], normal_concat=[2],
                reduce=[('msa', 0), ('skip_connect', 1)], reduce_concat=[2])

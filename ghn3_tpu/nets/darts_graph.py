@@ -123,15 +123,16 @@ def build_genotype_graph(genotype: Genotype, C: int, num_classes: int, n_cells: 
         return cat
 
     def sep_conv(prefix, cin, cout, k, src, cell):
+        # module indices are constant: bn_layer occupies a Sequential slot even
+        # when norm is None (Identity) — reference ops.py:221-231
         specs = [('sep_conv', f'{prefix}.op.1.weight', (cin, 1, k, k)),
                  ('conv', f'{prefix}.op.2.weight', (cin, cin, 1, 1))]
         if has_norm:
             specs.append(('bn', f'{prefix}.op.3.weight', (cin,)))
-        j = 5 if has_norm else 4
-        specs += [('sep_conv', f'{prefix}.op.{j}.weight', (cin, 1, k, k)),
-                  ('conv', f'{prefix}.op.{j + 1}.weight', (cout, cin, 1, 1))]
+        specs += [('sep_conv', f'{prefix}.op.5.weight', (cin, 1, k, k)),
+                  ('conv', f'{prefix}.op.6.weight', (cout, cin, 1, 1))]
         if has_norm:
-            specs.append(('bn', f'{prefix}.op.{j + 2}.weight', (cout,)))
+            specs.append(('bn', f'{prefix}.op.7.weight', (cout,)))
         return b.chain(specs, src, cell)
 
     def dil_conv(prefix, cin, cout, k, src, cell):

@@ -1,0 +1,1001 @@
+"""Genotype-as-data super-net executor for DeepNets-1M meta-training.
+
+The compile wall this kills: tracing a different Python ``Network`` per sampled
+architecture compiles one XLA program per meta-batch (the reference streams a
+fresh meta-batch from 1M nets every step, /root/reference/ghn3/deepnets1m.py:282-319,
+consumed at trainer.py:308-327 — on TPU that is minutes of compilation per step).
+
+Here the architecture is *data*:
+
+* one XLA program is compiled per coarse static **bucket** (channel width C,
+  cell count, steps, stem family, norm kind, classifier dims — ``ArchBucket``);
+* the genotype's content — which op sits in each cell slot, its input state,
+  which graph nodes hold its parameters, what the cell concatenates — is packed
+  into integer tensors (``encode_arch``) and fed as ordinary inputs;
+* inside the program, each cell slot dispatches over a static op vocabulary with
+  ``lax.switch`` (only the selected branch executes on TPU), and each branch
+  **fuses the GHN decode**: it gathers the node embeddings it needs from the
+  graphormer output and runs decode -> tile -> fan-in-normalize -> conv inline,
+  with fully static shapes. Gradients flow through decode into the GHN.
+
+Numerics match the per-architecture executor (predict_packed + nets/darts.Network)
+tensor-for-tensor: the branches reuse ``predict.decode_group`` /
+``ops.assembly.tile_params`` / ``normalize_params`` with the same decode keys
+(tests/test_interpreter.py asserts logits equality).
+
+Reference semantics mirrored: ops.py OPS table (/root/reference/ghn3/ops.py:332-400),
+Cell/Network forward (ops.py:403-576); ``None``-state propagation of Zero ops is
+genotype-static, so the host encoder rewrites ops on dead states to 'none' and the
+device uses zero tensors (bn-on-zero never happens, matching torch's None skips).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import GHNConfig
+from ..graph.genotypes import Genotype, parse_op_ks
+from ..graph.graphdef import GraphDef
+from ..models.shape_encoder import tables_for
+from ..ops.assembly import decode_key, normalize_params, tile_params
+
+MAX_SLOT_NODES = 9   # msa is the widest op: ln1, qkv, out.w, out.b, ln2, ff0.w/b, ff3.w/b
+
+# Op vocabulary: (base, kernel) pairs the branch tables carry. Restrictable per
+# dataset (a smaller vocabulary compiles faster); ids are positions in the tuple.
+DEFAULT_VOCAB: Tuple[Tuple[str, int], ...] = (
+    ('none', 3), ('skip_connect', 3), ('avg_pool', 3), ('max_pool', 3),
+    ('conv', 1), ('conv', 3), ('conv', 5), ('conv', 7),
+    ('conv2', 3), ('conv2', 5), ('conv2', 7),
+    ('sep_conv', 3), ('sep_conv', 5), ('sep_conv', 7),
+    ('dil_conv', 3), ('dil_conv', 5), ('dil_conv', 7),
+    ('msa', 3), ('cse', 3),
+)
+
+
+def vocab_from_genotypes(genotypes: Sequence[Genotype],
+                         ) -> Tuple[Tuple[str, int], ...]:
+    """Smallest op vocabulary covering the given genotypes (+ 'none'). A smaller
+    vocabulary means smaller lax.switch tables, i.e. faster bucket compiles —
+    derive it from the dataset's primitives once, not per meta-batch (the vocab
+    is part of the bucket key)."""
+    seen = {('none', 3)}
+    for g in genotypes:
+        for op, _src in list(g.normal) + list(g.reduce):
+            seen.add(parse_op_ks(op))
+    return tuple(sorted(seen))
+
+
+_OP_BASES = ('none', 'skip_connect', 'avg_pool', 'max_pool', 'conv', 'conv2',
+             'sep_conv', 'dil_conv', 'msa', 'cse')
+
+
+def vocab_from_primitives(names: Sequence[str]) -> Tuple[Tuple[str, int], ...]:
+    """Vocabulary from a dataset's extended primitive names (e.g. the
+    ``primitives_ext`` table of DeepNets-1M metadata): keeps genotype ops,
+    ignores node-level primitives (bn/bias/input/...)."""
+    seen = {('none', 3)}
+    for name in names:
+        if name is None:
+            continue
+        base, k = parse_op_ks(name)
+        if base in _OP_BASES:
+            seen.add((base, k))
+    return tuple(sorted(seen))
+
+
+@dataclasses.dataclass(frozen=True)
+class ArchBucket:
+    """Static configuration of one compiled interpreter program. Everything that
+    determines tensor shapes lives here; genotype content is data."""
+    C: int
+    n_cells: int
+    steps_normal: int
+    steps_reduce: int
+    mult_normal: int          # len(normal_concat)
+    mult_reduce: int
+    stem_type: int            # 0, 1, or 2 (ViT conv_stride + pos_enc)
+    stem_pool: bool
+    preproc: bool
+    C_mult: int
+    has_norm: bool
+    ks: int
+    glob_avg: bool
+    fc_layers: int
+    fc_dim: int
+    num_classes: int
+    is_imagenet_input: bool
+    imagenet_stride: int
+    vocab: Tuple[Tuple[str, int], ...] = DEFAULT_VOCAB
+
+    @property
+    def is_vit(self) -> bool:
+        return self.stem_type == 2
+
+    @property
+    def max_slots(self) -> int:
+        return 2 * max(self.steps_normal, self.steps_reduce)
+
+    @property
+    def max_mult(self) -> int:
+        return max(self.mult_normal, self.mult_reduce)
+
+
+def _conv_out(h: int, k: int, s: int, p: int, d: int = 1) -> int:
+    return (h + 2 * p - d * (k - 1) - 1) // s + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class CellGeom:
+    """Per-cell static geometry (channels, resolutions, kind)."""
+    cell: int
+    reduction: bool
+    reduction_prev: bool
+    c: int                    # op channels inside the cell (c_in == c_out, see ops.py:449)
+    c_prev_prev: int
+    c_prev: int
+    c_out_cell: int           # channels after concat
+    h_in: int                 # resolution of preprocessed states
+    h_out: int                # resolution of new states (h_in // 2 in reduce cells)
+    steps: int
+    mult: int
+
+
+def stem_resolution(b: ArchBucket) -> int:
+    s = 224 if b.is_imagenet_input else 32
+    if b.is_vit:
+        patch = 16 if b.is_imagenet_input else 3
+        return _conv_out(s, patch, patch, int(patch < 4))
+    if b.stem_type == 0:
+        h = _conv_out(s, b.ks, b.imagenet_stride if b.is_imagenet_input else 1, b.ks // 2)
+        if b.stem_pool:
+            h = _conv_out(h, 3, 2, 1)
+        return h
+    st = 2 if b.is_imagenet_input else 1
+    h = _conv_out(s, b.ks, st, b.ks // 2)
+    h = _conv_out(h, 3, st, 1)          # stem0 second conv
+    return h                             # resolution of s0; s1 is one stride-2 conv below
+
+
+def cell_geometry(b: ArchBucket) -> List[CellGeom]:
+    """Mirror of Network.__init__'s channel/resolution bookkeeping (nets/darts.py)."""
+    c_prev_prev = c_prev = c_curr = b.C
+    if b.stem_type == 0:
+        c_stem = int(b.C * (3 if (b.preproc and not b.is_imagenet_input) else 1))
+        c_prev_prev = c_prev = c_stem
+    h0 = stem_resolution(b)
+    if b.stem_type == 1:
+        r0, r1 = h0, _conv_out(h0, 3, 2, 1)   # stem1 conv
+    else:
+        r0 = r1 = h0
+
+    def is_red(ci):
+        return ci in (b.n_cells // 3, 2 * b.n_cells // 3) and ci > 0
+
+    geoms = []
+    reduction_prev = b.stem_type == 1
+    for ci in range(b.n_cells):
+        reduction = is_red(ci)
+        if reduction:
+            c_curr *= b.C_mult
+        steps = b.steps_reduce if reduction else b.steps_normal
+        mult = b.mult_reduce if reduction else b.mult_normal
+        red_spatial = reduction and not b.is_vit
+        h_out = (r1 + 1) // 2 if red_spatial else r1
+        geoms.append(CellGeom(cell=ci, reduction=reduction, reduction_prev=reduction_prev,
+                              c=c_curr, c_prev_prev=c_prev_prev, c_prev=c_prev,
+                              c_out_cell=mult * c_curr, h_in=r1, h_out=h_out,
+                              steps=steps, mult=mult))
+        reduction_prev = reduction
+        c_prev_prev, c_prev = c_prev, mult * c_curr
+        r0, r1 = r1, h_out
+    return geoms
+
+
+def head_features(b: ArchBucket, geoms: Sequence[CellGeom]) -> int:
+    c_prev = geoms[-1].c_out_cell if geoms else b.C
+    if b.glob_avg:
+        return c_prev
+    s = (7 if (b.stem_type == 1 or b.stem_pool) else 14) if b.is_imagenet_input \
+        else (4 if (b.stem_type == 1 or b.stem_pool) else 8)
+    return c_prev * s * s
+
+
+# ---------------------------------------------------------------------------
+# Parameter specs: canonical (kind, name-suffix, shape) list per op — the shared
+# contract between host encoding (name -> graph node) and device decode order.
+# Module indices follow the reference Sequential layouts, where bn_layer occupies
+# a slot even when norm is None (Identity) — ops.py:183-238.
+# ---------------------------------------------------------------------------
+
+def op_param_specs(base: str, k: int, c_in: int, c_out: int,
+                   has_norm: bool) -> List[Tuple[str, str, Tuple[int, ...]]]:
+    if base in ('none', 'skip_connect', 'avg_pool', 'max_pool'):
+        return []
+    if base == 'skip_reduce':         # FactorizedReduce (strided skip_connect)
+        specs = [('w4d', 'conv_1.weight', (c_out // 2, c_in, 1, 1)),
+                 ('w4d', 'conv_2.weight', (c_out // 2, c_in, 1, 1))]
+        if has_norm:
+            specs.append(('pair', 'bn.weight', (c_out,)))
+        return specs
+    if base == 'conv':
+        specs = [('w4d', 'op.1.weight', (c_out, c_in, k, k))]
+        if has_norm:
+            specs.append(('pair', 'op.2.weight', (c_out,)))
+        return specs
+    if base == 'conv2':
+        specs = [('w4d', 'op.1.weight', (c_in, c_in, 1, k)),
+                 ('w4d', 'op.2.weight', (c_out, c_in, k, 1))]
+        if has_norm:
+            specs.append(('pair', 'op.3.weight', (c_out,)))
+        return specs
+    if base == 'sep_conv':
+        specs = [('w4d', 'op.1.weight', (c_in, 1, k, k)),
+                 ('w4d', 'op.2.weight', (c_in, c_in, 1, 1))]
+        if has_norm:
+            specs.append(('pair', 'op.3.weight', (c_in,)))
+        specs += [('w4d', 'op.5.weight', (c_in, 1, k, k)),
+                  ('w4d', 'op.6.weight', (c_out, c_in, 1, 1))]
+        if has_norm:
+            specs.append(('pair', 'op.7.weight', (c_out,)))
+        return specs
+    if base == 'dil_conv':
+        specs = [('w4d', 'op.1.weight', (c_in, 1, k, k)),
+                 ('w4d', 'op.2.weight', (c_out, c_in, 1, 1))]
+        if has_norm:
+            specs.append(('pair', 'op.3.weight', (c_out,)))
+        return specs
+    if base == 'msa':
+        d = c_in
+        return [('pair', 'ln1.weight', (d,)),
+                ('w2d', 'attn.to_qkv.weight', (3 * d, d)),
+                ('w2d', 'attn.to_out.0.weight', (d, d)),
+                ('bias', 'attn.to_out.0.bias', (d,)),
+                ('pair', 'ln2.weight', (d,)),
+                ('w2d', 'ff.net.0.weight', (d, d)),
+                ('bias', 'ff.net.0.bias', (d,)),
+                ('w2d', 'ff.net.3.weight', (d, d)),
+                ('bias', 'ff.net.3.bias', (d,))]
+    if base == 'cse':
+        d = c_in
+        return [('w2d', 'fc1.weight', (d // 2, d)), ('bias', 'fc1.bias', (d // 2,)),
+                ('w2d', 'fc2.weight', (d, d // 2)), ('bias', 'fc2.bias', (d,))]
+    raise NotImplementedError(base)
+
+
+# ---------------------------------------------------------------------------
+# Device-side decode fetchers (traceable; reuse the plan path's exact numerics)
+# ---------------------------------------------------------------------------
+
+def _frob(w) -> jnp.ndarray:
+    return jnp.sqrt(jnp.sum(w.astype(jnp.float32) ** 2))
+
+
+class _Fetcher:
+    """Decode context closed over by every branch: GHN params + node embeddings.
+    Accumulated Frobenius norms implement predparam_wd (reference trainer.py:288-294).
+    """
+
+    def __init__(self, params, cfg: GHNConfig, x_flat, weight_norm: bool):
+        self.params = params
+        self.cfg = cfg
+        self.x_flat = x_flat
+        self.weight_norm = weight_norm
+
+    def _emb(self, node_id):
+        return jax.lax.dynamic_index_in_dim(self.x_flat, node_id, axis=0, keepdims=True)
+
+    def w(self, node_id, sz: Tuple[int, ...]):
+        """4d/2d weight: conv decode -> tile -> fan-in normalize. Returns (w, frob)."""
+        from ..predict import decode_group
+        key = decode_key(sz, self.cfg.max_shape, False, False)
+        w = decode_group(self.params, self.cfg, key, self._emb(node_id))[0]
+        w = tile_params(w, sz)
+        if self.weight_norm:
+            w = normalize_params(w, True)
+        return w, _frob(w)
+
+    def pair(self, node_id, sz: Tuple[int, ...]):
+        """Norm weight/bias channel pair from one node (rows 0/1 of decode_1d)."""
+        from ..models.ghn_core import decode_1d
+        z = decode_1d(self.params, self._emb(node_id)).reshape(2, -1)
+        w = tile_params(z[0], sz)
+        b = tile_params(z[1], sz)
+        if self.weight_norm:
+            w = normalize_params(w, True)
+            b = normalize_params(b, False)
+        return w, b, _frob(w) + _frob(b)
+
+    def bias(self, node_id, sz: Tuple[int, ...]):
+        from ..models.ghn_core import decode_1d
+        z = decode_1d(self.params, self._emb(node_id)).reshape(2, -1)
+        b = tile_params(z[1], sz)
+        if self.weight_norm:
+            b = normalize_params(b, False)
+        return b, _frob(b)
+
+    def cls_w(self, node_id, sz: Tuple[int, int]):
+        """Final classification weight (class_layer_predictor head)."""
+        from ..predict import decode_group
+        key = decode_key(sz, self.cfg.max_shape, True, False)
+        w = decode_group(self.params, self.cfg, key, self._emb(node_id))[0]
+        w = tile_params(w, sz)
+        if self.weight_norm:
+            w = normalize_params(w, True)
+        return w, _frob(w)
+
+    def cls_b(self, node_id, sz: Tuple[int]):
+        from ..predict import decode_group
+        key = decode_key(sz, self.cfg.max_shape, False, True)
+        b = decode_group(self.params, self.cfg, key, self._emb(node_id))[0][1]
+        b = tile_params(b, sz)
+        if self.weight_norm:
+            b = normalize_params(b, False)
+        return b, _frob(b)
+
+    def fetch_specs(self, node_ids, specs):
+        """Decode a spec list; returns (tensors in spec order, total frobenius).
+        ``pair`` specs contribute two tensors (weight, bias)."""
+        out, total = [], 0.0
+        for i, (kind, _name, sz) in enumerate(specs):
+            nid = node_ids[i]
+            if kind == 'pair':
+                w, b, f = self.pair(nid, sz)
+                out += [w, b]
+            elif kind == 'bias':
+                b, f = self.bias(nid, sz)
+                out.append(b)
+            else:
+                w, f = self.w(nid, sz)
+                out.append(w)
+            total = total + f
+        return out, total
+
+
+# ---------------------------------------------------------------------------
+# Primitive apply helpers (match nets/functional.py semantics)
+# ---------------------------------------------------------------------------
+
+def _conv(x, w, stride=1, padding=0, dilation=1, groups=1):
+    s = (stride, stride) if isinstance(stride, int) else stride
+    p = [(padding, padding), (padding, padding)] if isinstance(padding, int) \
+        else [(padding[0], padding[0]), (padding[1], padding[1])]
+    d = (dilation, dilation) if isinstance(dilation, int) else dilation
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=s, padding=p, rhs_dilation=d,
+        feature_group_count=groups, dimension_numbers=('NCHW', 'OIHW', 'NCHW'))
+
+
+def _bn(x, w, b, eps=1e-5):
+    mu = x.mean(axis=(0, 2, 3), keepdims=True)
+    var = ((x - mu) ** 2).mean(axis=(0, 2, 3), keepdims=True)
+    y = (x - mu) * jax.lax.rsqrt(var + eps)
+    return y * w[None, :, None, None] + b[None, :, None, None]
+
+
+def _ln(x, w, b, eps=1e-5):
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * w + b
+
+
+def _pool_counts(h: int, w: int, stride: int) -> np.ndarray:
+    """Static count_include_pad=False divisor for a 3x3/pad-1 window."""
+    ones = np.ones((1, 1, h, w), np.float32)
+    out_h, out_w = _conv_out(h, 3, stride, 1), _conv_out(w, 3, stride, 1)
+    counts = np.zeros((1, 1, out_h, out_w), np.float32)
+    padded = np.pad(ones, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    for i in range(out_h):
+        for j in range(out_w):
+            counts[0, 0, i, j] = padded[0, 0, i * stride:i * stride + 3,
+                                        j * stride:j * stride + 3].sum()
+    return counts
+
+
+def _pool(x, kind, stride):
+    dims, strides = (1, 1, 3, 3), (1, 1, stride, stride)
+    pads = ((0, 0), (0, 0), (1, 1), (1, 1))
+    if kind == 'max':
+        return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, dims, strides, pads)
+    summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, dims, strides, pads)
+    # count_include_pad=False (OPS avg_pool, ops.py:336); divisor is static
+    return summed / jnp.asarray(_pool_counts(x.shape[2], x.shape[3], stride))
+
+
+# ---------------------------------------------------------------------------
+# Branch builders
+# ---------------------------------------------------------------------------
+
+def _make_branch(fe: _Fetcher, base: str, k: int, strided: bool, c: int,
+                 has_norm: bool, heads: int = 8):
+    """One lax.switch branch: (x_hi, x_lo, node_ids) -> (y_lo, predwd).
+    Strided branches read x_hi (pre-reduction resolution), others x_lo."""
+    stride = 2 if strided else 1
+    specs = op_param_specs('skip_reduce' if (base == 'skip_connect' and strided) else base,
+                           k, c, c, has_norm)
+
+    def maybe_bn(y, t, i):
+        return _bn(y, t[i], t[i + 1]) if has_norm else y
+
+    def branch(x_hi, x_lo, node_ids):
+        x = x_hi if strided else x_lo
+        if base == 'none':
+            y = (x[:, :, ::2, ::2] if strided else x) * 0.0
+            return y, jnp.float32(0.0)
+        if base == 'skip_connect':
+            if not strided:
+                return x, jnp.float32(0.0)
+            t, f = fe.fetch_specs(node_ids, specs)
+            xr = jax.nn.relu(x)
+            y1 = _conv(xr, t[0], stride=2)
+            y2 = _conv(xr[:, :, 1:, 1:], t[1], stride=2)
+            y = jnp.concatenate([y1, y2], axis=1)
+            return maybe_bn(y, t, 2), f
+        if base in ('avg_pool', 'max_pool'):
+            return _pool(x, base[:3], stride), jnp.float32(0.0)
+        t, f = fe.fetch_specs(node_ids, specs)
+        if base == 'conv':
+            y = _conv(jax.nn.relu(x), t[0], stride=stride, padding=k // 2)
+            return maybe_bn(y, t, 1), f
+        if base == 'conv2':
+            y = _conv(jax.nn.relu(x), t[0], stride=(1, stride), padding=(0, k // 2))
+            y = _conv(y, t[1], stride=(stride, 1), padding=(k // 2, 0))
+            return maybe_bn(y, t, 2), f
+        if base == 'sep_conv':
+            i = 0
+            y = _conv(jax.nn.relu(x), t[0], stride=stride, padding=k // 2, groups=c)
+            y = _conv(y, t[1])
+            i = 2
+            if has_norm:
+                y = _bn(y, t[2], t[3])
+                i = 4
+            y = _conv(jax.nn.relu(y), t[i], stride=1, padding=k // 2, groups=c)
+            y = _conv(y, t[i + 1])
+            if has_norm:
+                y = _bn(y, t[i + 2], t[i + 3])
+            return y, f
+        if base == 'dil_conv':
+            y = _conv(jax.nn.relu(x), t[0], stride=stride, padding=k - k % 2,
+                      dilation=2, groups=c)
+            y = _conv(y, t[1])
+            return maybe_bn(y, t, 2), f
+        if base == 'cse':
+            s = x.mean(axis=(2, 3))
+            s = s @ t[0].T + t[1]
+            s = jax.nn.relu(s) @ t[2].T + t[3]
+            s = jax.nn.hard_swish(s)
+            y = x * s[:, :, None, None]
+            return (y[:, :, ::2, ::2] if strided else y), f
+        if base == 'msa':
+            # TransformerLayer (nets/darts.py:127-184): pre-LN attn + FF, mlp_ratio 1
+            bsz, ch, hh, ww = x.shape
+            tok = x.reshape(bsz, ch, hh * ww).transpose(0, 2, 1)
+            ln1w, ln1b, qkv, outw, outb, ln2w, ln2b, f0w, f0b, f3w, f3b = t
+            yn = _ln(tok, ln1w, ln1b)
+            n = hh * ww
+            d = ch // heads
+            q_k_v = (yn @ qkv.T).reshape(bsz, n, 3, heads, d).transpose(2, 0, 3, 1, 4)
+            q, kk, v = q_k_v[0], q_k_v[1], q_k_v[2]
+            attn = jax.nn.softmax(jnp.einsum('bhnd,bhmd->bhnm', q, kk) * (d ** -0.5), -1)
+            att = jnp.einsum('bhnm,bhmd->bhnd', attn, v).transpose(0, 2, 1, 3).reshape(bsz, n, ch)
+            tok = tok + (att @ outw.T + outb)
+            yn = _ln(tok, ln2w, ln2b)
+            ff = jax.nn.gelu(yn @ f0w.T + f0b, approximate=False) @ f3w.T + f3b
+            tok = tok + ff
+            y = tok.transpose(0, 2, 1).reshape(bsz, ch, hh, ww)
+            return (y[:, :, ::2, ::2] if strided else y), f
+        raise NotImplementedError(base)
+
+    return branch
+
+
+def _branch_tables(fe: _Fetcher, bucket: ArchBucket, c: int):
+    """(normal_branches, reduce_branches) for channel width ``c``. Reduce tables
+    append the strided variants at offset len(vocab)."""
+    normal = [
+        _make_branch(fe, base, k, False, c, bucket.has_norm)
+        for base, k in bucket.vocab]
+    if bucket.is_vit:
+        return normal, normal
+    reduce_tbl = normal + [
+        _make_branch(fe, base, k, True, c, bucket.has_norm)
+        for base, k in bucket.vocab]
+    return normal, reduce_tbl
+
+
+# ---------------------------------------------------------------------------
+# Interpreter forward
+# ---------------------------------------------------------------------------
+
+def _relu_conv_bn_1x1(fe: _Fetcher, x, node_ids, c_in: int, c_out: int, has_norm: bool):
+    """Cell preprocessing ReLUConvBN (ks=1)."""
+    w, f = fe.w(node_ids[0], (c_out, c_in, 1, 1))
+    y = _conv(jax.nn.relu(x), w)
+    if has_norm:
+        bw, bb, f2 = fe.pair(node_ids[1], (c_out,))
+        y = _bn(y, bw, bb)
+        f = f + f2
+    return y, f
+
+
+def _factorized_reduce(fe: _Fetcher, x, node_ids, c_in: int, c_out: int, has_norm: bool):
+    w1, f1 = fe.w(node_ids[0], (c_out // 2, c_in, 1, 1))
+    w2, f2 = fe.w(node_ids[1], (c_out // 2, c_in, 1, 1))
+    xr = jax.nn.relu(x)
+    y = jnp.concatenate([_conv(xr, w1, stride=2),
+                         _conv(xr[:, :, 1:, 1:], w2, stride=2)], axis=1)
+    f = f1 + f2
+    if has_norm:
+        bw, bb, f3 = fe.pair(node_ids[2], (c_out,))
+        y = _bn(y, bw, bb)
+        f = f + f3
+    return y, f
+
+
+def _run_stem(fe: _Fetcher, bucket: ArchBucket, stem_nodes, images):
+    """Returns (s0, s1, predwd)."""
+    b = bucket
+    if b.is_vit:
+        patch = 16 if b.is_imagenet_input else 3
+        w, f1 = fe.w(stem_nodes[0], (b.C, 3, patch, patch))
+        y = _conv(images, w, stride=patch, padding=int(patch < 4))
+        pe_k = 14 if b.is_imagenet_input else 11
+        pe, f2 = fe.w(stem_nodes[1], (1, b.C, pe_k, pe_k))
+        y = y + pe
+        return y, y, f1 + f2
+    if b.stem_type == 0:
+        c_stem = int(b.C * (3 if (b.preproc and not b.is_imagenet_input) else 1))
+        w, f = fe.w(stem_nodes[0], (c_stem, 3, b.ks, b.ks))
+        y = _conv(images, w, stride=b.imagenet_stride if b.is_imagenet_input else 1,
+                  padding=b.ks // 2)
+        if b.has_norm:
+            bw, bb, f2 = fe.pair(stem_nodes[1], (c_stem,))
+            y = _bn(y, bw, bb)
+            f = f + f2
+        if b.stem_pool:
+            y = _pool(y, 'max', 2)
+        return y, y, f
+    # stem_type 1 (ImageNet stem, nets/darts.py:355-366)
+    st = 2 if b.is_imagenet_input else 1
+    w, f = fe.w(stem_nodes[0], (b.C // 2, 3, b.ks, b.ks))
+    y = _conv(images, w, stride=st, padding=b.ks // 2)
+    if b.has_norm:
+        bw, bb, f2 = fe.pair(stem_nodes[1], (b.C // 2,))
+        y = _bn(y, bw, bb)
+        f = f + f2
+    y = jax.nn.relu(y)
+    w, f2 = fe.w(stem_nodes[2], (b.C, b.C // 2, 3, 3))
+    y = _conv(y, w, stride=st, padding=1)
+    f = f + f2
+    if b.has_norm:
+        bw, bb, f2 = fe.pair(stem_nodes[3], (b.C,))
+        y = _bn(y, bw, bb)
+        f = f + f2
+    s0 = y
+    w, f2 = fe.w(stem_nodes[4], (b.C, b.C, 3, 3))
+    y = _conv(jax.nn.relu(s0), w, stride=2, padding=1)
+    f = f + f2
+    if b.has_norm:
+        bw, bb, f2 = fe.pair(stem_nodes[5], (b.C,))
+        y = _bn(y, bw, bb)
+        f = f + f2
+    return s0, y, f
+
+
+def _run_cell(fe: _Fetcher, bucket: ArchBucket, geom: CellGeom, arch, s0, s1):
+    """Execute one cell; returns (out, predwd)."""
+    ci = geom.cell
+    predwd = jnp.float32(0.0)
+    vit = bucket.is_vit
+    pre = arch['pre_nodes'][ci]
+
+    if bucket.preproc:
+        if geom.reduction_prev and not vit:
+            p0, f = _factorized_reduce(fe, s0, pre[0:3], geom.c_prev_prev, geom.c,
+                                       bucket.has_norm)
+        else:
+            p0, f = _relu_conv_bn_1x1(fe, s0, pre[0:2], geom.c_prev_prev, geom.c,
+                                      bucket.has_norm)
+        predwd = predwd + f
+        p1, f = _relu_conv_bn_1x1(fe, s1, pre[3:5], geom.c_prev, geom.c, bucket.has_norm)
+        predwd = predwd + f
+    else:
+        p0 = s0[:, :, ::2, ::2] if (geom.reduction_prev and not vit) else s0
+        p1 = s1
+
+    normal_tbl, reduce_tbl = _branch_tables(fe, bucket, geom.c)
+    n_slots = 2 * geom.steps
+    slot_op = arch['slot_op'][ci, :n_slots].reshape(geom.steps, 2)
+    slot_src = arch['slot_src'][ci, :n_slots].reshape(geom.steps, 2)
+    slot_nodes = arch['slot_nodes'][ci, :n_slots].reshape(geom.steps, 2, MAX_SLOT_NODES)
+
+    bsz = p0.shape[0]
+    red_spatial = geom.reduction and not vit
+
+    if red_spatial:
+        hi = jnp.stack([p0, p1])                                   # (2, B, C, H, W)
+        lo0 = jnp.zeros((geom.steps, bsz, geom.c, geom.h_out, geom.h_out), p0.dtype)
+
+        def body(carry, xs):
+            lo, acc = carry
+            ops, srcs, nds, i = xs
+
+            def one(j):
+                x_hi = jax.lax.dynamic_index_in_dim(hi, jnp.clip(srcs[j], 0, 1), 0, False)
+                x_lo = jax.lax.dynamic_index_in_dim(
+                    lo, jnp.clip(srcs[j] - 2, 0, geom.steps - 1), 0, False)
+                return jax.lax.switch(ops[j], reduce_tbl, x_hi, x_lo, nds[j])
+
+            ya, fa = one(0)
+            yb, fb = one(1)
+            lo = jax.lax.dynamic_update_index_in_dim(lo, ya + yb, i, 0)
+            return (lo, acc + fa + fb), None
+
+        idx = jnp.arange(geom.steps, dtype=jnp.int32)
+        (lo, f), _ = jax.lax.scan(body, (lo0, jnp.float32(0.0)),
+                                  (slot_op, slot_src, slot_nodes, idx))
+        predwd = predwd + f
+        cat = jnp.take(lo, jnp.clip(arch['concat'][ci, :geom.mult] - 2, 0,
+                                    geom.steps - 1), axis=0)
+    else:
+        bank0 = jnp.zeros((geom.steps + 2, bsz, geom.c, geom.h_in, geom.h_in), p0.dtype)
+        bank0 = bank0.at[0].set(p0).at[1].set(p1)
+
+        def body(carry, xs):
+            bank, acc = carry
+            ops, srcs, nds, i = xs
+
+            def one(j):
+                x = jax.lax.dynamic_index_in_dim(bank, srcs[j], 0, False)
+                return jax.lax.switch(ops[j], normal_tbl, x, x, nds[j])
+
+            ya, fa = one(0)
+            yb, fb = one(1)
+            bank = jax.lax.dynamic_update_index_in_dim(bank, ya + yb, i + 2, 0)
+            return (bank, acc + fa + fb), None
+
+        idx = jnp.arange(geom.steps, dtype=jnp.int32)
+        (bank, f), _ = jax.lax.scan(body, (bank0, jnp.float32(0.0)),
+                                    (slot_op, slot_src, slot_nodes, idx))
+        predwd = predwd + f
+        cat = jnp.take(bank, jnp.clip(arch['concat'][ci, :geom.mult], 0,
+                                      geom.steps + 1), axis=0)
+
+    # (mult, B, C, H, W) -> channel concat in concat-index order
+    out = cat.transpose(1, 0, 2, 3, 4).reshape(bsz, geom.mult * geom.c,
+                                               cat.shape[-2], cat.shape[-1])
+    return out, predwd
+
+
+def interpret_forward(params, cfg: GHNConfig, bucket: ArchBucket,
+                      x_flat: jnp.ndarray, arch: Dict[str, jnp.ndarray],
+                      images: jnp.ndarray,
+                      weight_norm: Optional[bool] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Decode + execute one architecture in a single traceable program.
+
+    :param x_flat: (N_pad, hid) graphormer node embeddings of this net's graph.
+    :param arch: integer arch-data arrays from :func:`encode_arch`.
+    :return: (logits (B, num_classes), predwd scalar = sum of Frobenius norms).
+    """
+    weight_norm = cfg.weight_norm if weight_norm is None else weight_norm
+    fe = _Fetcher(params, cfg, x_flat, weight_norm)
+    geoms = cell_geometry(bucket)
+
+    s0, s1, predwd = _run_stem(fe, bucket, arch['stem_nodes'], images)
+    for geom in geoms:
+        out, f = _run_cell(fe, bucket, geom, arch, s0, s1)
+        predwd = predwd + f
+        s0, s1 = s1, out
+
+    x = s1.mean(axis=(2, 3)) if bucket.glob_avg else s1.reshape(s1.shape[0], -1)
+    x = x.astype(jnp.float32)
+
+    feat = head_features(bucket, geoms)
+    dims = [feat] + [bucket.fc_dim] * max(0, bucket.fc_layers - 1) + [bucket.num_classes] \
+        if bucket.fc_layers > 1 else [feat, bucket.num_classes]
+    cls = arch['cls_nodes']
+    for li in range(len(dims) - 1):
+        last = li == len(dims) - 2
+        if last:
+            w, fw = fe.cls_w(cls[2 * li], (dims[li + 1], dims[li]))
+            b, fb = fe.cls_b(cls[2 * li + 1], (dims[li + 1],))
+        else:
+            w, fw = fe.w(cls[2 * li], (dims[li + 1], dims[li]))
+            b, fb = fe.bias(cls[2 * li + 1], (dims[li + 1],))
+        predwd = predwd + fw + fb
+        x = x @ w.T + b
+        if not last:
+            x = jax.nn.relu(x)
+    return x, predwd
+
+
+# ---------------------------------------------------------------------------
+# Host-side arch encoding
+# ---------------------------------------------------------------------------
+
+class EncodeError(ValueError):
+    pass
+
+
+def bucket_of(net_args: dict, num_classes: int, is_imagenet_input: bool,
+              vocab: Tuple[Tuple[str, int], ...] = DEFAULT_VOCAB) -> ArchBucket:
+    """Static bucket key from DeepNets-1M ``net_args`` (cheap; no graph needed)."""
+    g: Genotype = net_args['genotype']
+    is_vit = any(n[0] == 'msa' for n in g.normal + g.reduce)
+    norm = net_args.get('norm', 'bn')
+    return ArchBucket(
+        C=int(net_args['C']), n_cells=int(net_args['n_cells']),
+        steps_normal=len(g.normal) // 2, steps_reduce=len(g.reduce) // 2,
+        mult_normal=len(g.normal_concat), mult_reduce=len(g.reduce_concat),
+        stem_type=2 if is_vit else int(net_args.get('stem_type', 0)),
+        stem_pool=bool(net_args.get('stem_pool', False)),
+        preproc=bool(net_args.get('preproc', True)),
+        C_mult=int(net_args.get('C_mult', 1)),
+        has_norm=norm not in (None, '', 'none'),
+        ks=int(net_args.get('ks', 3)),
+        glob_avg=bool(net_args.get('glob_avg', True)),
+        fc_layers=int(net_args.get('fc_layers', 1) or 1),
+        fc_dim=int(net_args.get('fc_dim', 0) or 0),
+        num_classes=int(num_classes),
+        is_imagenet_input=bool(is_imagenet_input),
+        imagenet_stride=int(net_args.get('imagenet_stride', 4)),
+        vocab=tuple(vocab))
+
+
+def _vocab_id(vocab, base: str, k: int) -> int:
+    try:
+        return vocab.index((base, k))
+    except ValueError:
+        raise EncodeError(f'op ({base}, {k}) not in interpreter vocabulary')
+
+
+def encode_arch(graph: GraphDef, num_classes: int = 10,
+                is_imagenet_input: bool = False,
+                vocab: Tuple[Tuple[str, int], ...] = DEFAULT_VOCAB,
+                cfg: Optional[GHNConfig] = None,
+                ) -> Tuple[ArchBucket, Dict[str, np.ndarray]]:
+    """Genotype graph -> (bucket, arch-data arrays).
+
+    The returned ``arch`` dict contains int32 arrays (plus ``shape_ind``) shaped by
+    the bucket only — stack arrays of same-bucket nets for the batched executor.
+    Every parameter-bearing graph node must be consumed exactly once (validated),
+    mirroring the reference debug_level>=1 coverage check (nn.py:354-397).
+    """
+    net_args = graph.net_args
+    assert net_args is not None and 'genotype' in net_args, 'genotype net_args required'
+    b = bucket_of(net_args, num_classes, is_imagenet_input, vocab)
+    geno: Genotype = net_args['genotype']
+    geoms = cell_geometry(b)
+
+    # name -> node index from node_info (the graph's param-node registry)
+    name2node: Dict[str, int] = {}
+    param_rows = []
+    for cell_rows in graph.node_info:
+        for row in cell_rows:
+            param_rows.append(row)
+            if row.param_name and row.op in ('conv', 'sep_conv', 'dil_conv', 'bn',
+                                             'ln', 'bias', 'pos_enc'):
+                name2node[row.param_name] = row.node_ind
+
+    used = set()
+
+    def node_for(name: str) -> int:
+        if name not in name2node:
+            # graphs store norm-pair and bias info on the weight node
+            raise EncodeError(f'param node not found: {name!r} '
+                              f'(have e.g. {sorted(name2node)[:8]})')
+        used.add(name)
+        return name2node[name]
+
+    n_cells, max_slots, max_mult = b.n_cells, b.max_slots, b.max_mult
+    arch = {
+        'stem_nodes': np.zeros((6,), np.int32),
+        'pre_nodes': np.zeros((n_cells, 5), np.int32),
+        'slot_op': np.zeros((n_cells, max_slots), np.int32),
+        'slot_src': np.zeros((n_cells, max_slots), np.int32),
+        'slot_nodes': np.zeros((n_cells, max_slots, MAX_SLOT_NODES), np.int32),
+        'concat': np.zeros((n_cells, max_mult), np.int32),
+        'cls_nodes': np.zeros((2 * max(1, b.fc_layers),), np.int32),
+    }
+    none_id = _vocab_id(vocab, 'none', 3)
+    arch['slot_op'][:] = none_id
+
+    # ---- stem ----
+    if b.is_vit:
+        arch['stem_nodes'][0] = node_for('stem0.weight')
+        arch['stem_nodes'][1] = node_for('pos_enc.weight')
+    elif b.stem_type == 0:
+        arch['stem_nodes'][0] = node_for('stem.0.weight')
+        if b.has_norm:
+            arch['stem_nodes'][1] = node_for('stem.1.weight')
+    else:
+        i = 3 if b.has_norm else 2
+        names = ['stem0.0.weight'] + (['stem0.1.weight'] if b.has_norm else ['']) \
+            + [f'stem0.{i}.weight'] + ([f'stem0.{i + 1}.weight'] if b.has_norm else ['']) \
+            + ['stem1.1.weight'] + (['stem1.2.weight'] if b.has_norm else [''])
+        for j, nm in enumerate(names):
+            if nm:
+                arch['stem_nodes'][j] = node_for(nm)
+
+    # ---- cells ----
+    for geom in geoms:
+        ci = geom.cell
+        if b.preproc:
+            pre0 = f'cells.{ci}.preprocess0'
+            if geom.reduction_prev and not b.is_vit:
+                arch['pre_nodes'][ci, 0] = node_for(f'{pre0}.conv_1.weight')
+                arch['pre_nodes'][ci, 1] = node_for(f'{pre0}.conv_2.weight')
+                if b.has_norm:
+                    arch['pre_nodes'][ci, 2] = node_for(f'{pre0}.bn.weight')
+            else:
+                arch['pre_nodes'][ci, 0] = node_for(f'{pre0}.op.1.weight')
+                if b.has_norm:
+                    arch['pre_nodes'][ci, 1] = node_for(f'{pre0}.op.2.weight')
+            arch['pre_nodes'][ci, 3] = node_for(f'cells.{ci}.preprocess1.op.1.weight')
+            if b.has_norm:
+                arch['pre_nodes'][ci, 4] = node_for(f'cells.{ci}.preprocess1.op.2.weight')
+
+        pairs = geno.reduce if geom.reduction else geno.normal
+        concat = geno.reduce_concat if geom.reduction else geno.normal_concat
+        valid = [True, True]          # states 0,1 (preprocessed inputs)
+        for i in range(geom.steps):
+            outs_valid = []
+            for jj, j in enumerate((2 * i, 2 * i + 1)):
+                op_name, src = pairs[j]
+                base, k = parse_op_ks(op_name)
+                src = int(src)
+                strided = geom.reduction and src < 2 and not b.is_vit
+                dead = base == 'none' or not valid[src]
+                slot = 2 * i + jj
+                arch['slot_src'][ci, slot] = src
+                if dead:
+                    # strided none (reads hi, subsamples) when the source would be
+                    # a hi-res state of a reduce cell; plain none (reads lo) else
+                    arch['slot_op'][ci, slot] = none_id + (len(vocab) if strided else 0)
+                    outs_valid.append(False)
+                    continue
+                vid = _vocab_id(vocab, base, k)
+                arch['slot_op'][ci, slot] = vid + (len(vocab) if strided else 0)
+                prefix = f'cells.{ci}._ops.{j}'
+                spec_base = 'skip_reduce' if (base == 'skip_connect' and strided) else base
+                specs = op_param_specs(spec_base, k, geom.c, geom.c, b.has_norm)
+                assert len(specs) <= MAX_SLOT_NODES, (base, len(specs))
+                for si, (_kind, suffix, _sz) in enumerate(specs):
+                    arch['slot_nodes'][ci, 2 * i + jj, si] = node_for(f'{prefix}.{suffix}')
+                outs_valid.append(True)
+            valid.append(outs_valid[0] or outs_valid[1])
+
+        concat_l = list(concat)
+        if len(concat_l) != geom.mult:
+            raise EncodeError(f'concat length mismatch in cell {ci}')
+        if geom.reduction and not b.is_vit and any(cc < 2 for cc in concat_l):
+            raise EncodeError('reduce-cell concat of an input state mixes resolutions')
+        if not any(valid[cc] for cc in concat_l):
+            raise EncodeError('invalid network: all concat states are dead')
+        arch['concat'][ci] = np.asarray(concat_l, np.int32)
+
+    # ---- classifier ----
+    mod_idx = 0
+    for li in range(max(1, b.fc_layers)):
+        arch['cls_nodes'][2 * li] = node_for(f'classifier.{mod_idx}.weight')
+        arch['cls_nodes'][2 * li + 1] = node_for(f'classifier.{mod_idx}.bias')
+        mod_idx += 3      # Linear, ReLU, Dropout
+
+    # ---- coverage check + shape_ind ----
+    missing = sorted(set(name2node) - used)
+    if missing:
+        raise EncodeError(f'graph param nodes not consumed by the interpreter: {missing}')
+
+    if cfg is not None:
+        arch['shape_ind'] = arch_shape_ind(graph, b, cfg)
+    return b, arch
+
+
+def arch_shape_ind(graph: GraphDef, b: ArchBucket, cfg: GHNConfig) -> np.ndarray:
+    """(n_nodes, 4) shape-encoder indices, identical to build_plan's for the same
+    net (true target shapes for matched rows, row.sz hints otherwise)."""
+    tables = tables_for(cfg)
+    shapes = target_param_shapes(b)
+    fill_slot_shapes(b, graph.net_args['genotype'], shapes)
+    n = graph.n_nodes
+    out = np.tile(np.array(tables.dummy_index, np.int32), (n, 1))
+    for cell_rows in graph.node_info:
+        for row in cell_rows:
+            sz = shapes.get(row.param_name)
+            if sz is None:
+                sz = row.sz
+            if sz is not None:
+                out[row.node_ind] = tables.shape_index(tuple(sz))
+    return out
+
+
+def target_param_shapes(b: ArchBucket) -> Dict[str, Tuple[int, ...]]:
+    """name -> true tensor shape for every predicted parameter of the bucket's
+    Network family (norm pairs listed under their .weight name; biases separate).
+    Mirrors nets/darts.Network.param_shapes() without building the module tree."""
+    geno_free: Dict[str, Tuple[int, ...]] = {}
+    geoms = cell_geometry(b)
+
+    def put(name, sz):
+        geno_free[name] = tuple(int(v) for v in sz)
+        if name.endswith('.weight') and len(sz) == 1:
+            geno_free[name[:-7] + '.bias'] = (int(sz[0]),)
+
+    # stem
+    if b.is_vit:
+        patch = 16 if b.is_imagenet_input else 3
+        put('stem0.weight', (b.C, 3, patch, patch))
+        pe_k = 14 if b.is_imagenet_input else 11
+        put('pos_enc.weight', (1, b.C, pe_k, pe_k))
+    elif b.stem_type == 0:
+        c_stem = int(b.C * (3 if (b.preproc and not b.is_imagenet_input) else 1))
+        put('stem.0.weight', (c_stem, 3, b.ks, b.ks))
+        if b.has_norm:
+            put('stem.1.weight', (c_stem,))
+    else:
+        i = 3 if b.has_norm else 2
+        put('stem0.0.weight', (b.C // 2, 3, b.ks, b.ks))
+        if b.has_norm:
+            put('stem0.1.weight', (b.C // 2,))
+        put(f'stem0.{i}.weight', (b.C, b.C // 2, 3, 3))
+        if b.has_norm:
+            put(f'stem0.{i + 1}.weight', (b.C,))
+        put('stem1.1.weight', (b.C, b.C, 3, 3))
+        if b.has_norm:
+            put('stem1.2.weight', (b.C,))
+
+    for geom in geoms:
+        ci = geom.cell
+        if b.preproc:
+            if geom.reduction_prev and not b.is_vit:
+                put(f'cells.{ci}.preprocess0.conv_1.weight',
+                    (geom.c // 2, geom.c_prev_prev, 1, 1))
+                put(f'cells.{ci}.preprocess0.conv_2.weight',
+                    (geom.c // 2, geom.c_prev_prev, 1, 1))
+                if b.has_norm:
+                    put(f'cells.{ci}.preprocess0.bn.weight', (geom.c,))
+            else:
+                put(f'cells.{ci}.preprocess0.op.1.weight',
+                    (geom.c, geom.c_prev_prev, 1, 1))
+                if b.has_norm:
+                    put(f'cells.{ci}.preprocess0.op.2.weight', (geom.c,))
+            put(f'cells.{ci}.preprocess1.op.1.weight', (geom.c, geom.c_prev, 1, 1))
+            if b.has_norm:
+                put(f'cells.{ci}.preprocess1.op.2.weight', (geom.c,))
+
+    return geno_free
+
+
+def fill_slot_shapes(b: ArchBucket, geno: Genotype, shapes: Dict[str, Tuple[int, ...]]):
+    """Extend :func:`target_param_shapes` with per-slot op shapes for ``geno``."""
+    geoms = cell_geometry(b)
+    for geom in geoms:
+        pairs = geno.reduce if geom.reduction else geno.normal
+        for j, (op_name, src) in enumerate(pairs):
+            base, k = parse_op_ks(op_name)
+            if base == 'none':
+                continue
+            strided = geom.reduction and int(src) < 2 and not b.is_vit
+            spec_base = 'skip_reduce' if (base == 'skip_connect' and strided) else base
+            for kind, suffix, sz in op_param_specs(spec_base, k, geom.c, geom.c,
+                                                   b.has_norm):
+                name = f'cells.{geom.cell}._ops.{j}.{suffix}'
+                shapes[name] = tuple(int(v) for v in sz)
+                if kind == 'pair':
+                    shapes[name[:-7] + '.bias'] = (int(sz[0]),)
+    # classifier
+    feat = head_features(b, geoms)
+    dims = [feat] + [b.fc_dim] * max(0, b.fc_layers - 1) + [b.num_classes] \
+        if b.fc_layers > 1 else [feat, b.num_classes]
+    mod_idx = 0
+    for li in range(len(dims) - 1):
+        shapes[f'classifier.{mod_idx}.weight'] = (dims[li + 1], dims[li])
+        shapes[f'classifier.{mod_idx}.bias'] = (dims[li + 1],)
+        mod_idx += 3
+    return shapes

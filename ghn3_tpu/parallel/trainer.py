@@ -290,6 +290,56 @@ class Trainer:
 
         return jax.jit(step, donate_argnums=(0, 1))
 
+    def _interp_step_fn(self, ib):
+        """Jitted step over the genotype-as-data interpreter (meta_executor):
+        compiled once per (bucket, n_pad, B_meta) — fresh architectures every
+        step run with zero recompiles (the reference workload, trainer.py:308-327,
+        without the per-net retrace)."""
+        from ..nets.interpreter import interpret_forward
+        cfg = self.cfg
+        bucket = ib.bucket
+        optimizer = self.optimizer
+        predparam_wd = self.predparam_wd
+
+        def step(params, opt_state, node_op, adj, shape_ind, mask, arch, images, labels):
+            def loss_fn(p):
+                x = ghn_forward(p, cfg, node_op, adj, shape_ind, mask)   # (B, N, hid)
+
+                def per_net(carry, xs):
+                    x_b, arch_b = xs
+                    logits, predwd = interpret_forward(p, cfg, bucket, x_b, arch_b,
+                                                       images)
+                    return carry, (logits, self._loss_from_logits(logits, labels),
+                                   predwd)
+
+                _, (logits_all, losses, predwds) = jax.lax.scan(
+                    per_net, jnp.float32(0.0), (x, arch))
+                loss = losses.mean()
+                loss_predwd = predparam_wd * predwds.sum() if predparam_wd > 0 else 0.0
+                return loss + loss_predwd, (logits_all, loss, loss_predwd)
+
+            (total, (logits_all, loss, loss_predwd)), grads = \
+                jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+            finite = jnp.isfinite(total)
+            updates, new_opt_state = optimizer.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            new_params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(finite, new, old), new_params, params)
+            new_opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(finite, new, old), new_opt_state, opt_state)
+
+            hard_labels = labels if labels.ndim == 1 else labels.argmax(-1)
+            flat_logits = logits_all.reshape(-1, logits_all.shape[-1])
+            rep_labels = jnp.tile(hard_labels, logits_all.shape[0])
+            accs = topk_correct(flat_logits, rep_labels)
+            metrics = {'loss': loss, 'loss_predwd': loss_predwd,
+                       'top1': accs[1], 'top5': accs[5],
+                       'skipped': (~finite).astype(jnp.float32)}
+            return new_params, new_opt_state, metrics
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
     def _model_step_fn(self):
         model = self.model
         optimizer = self.optimizer
@@ -336,6 +386,18 @@ class Trainer:
 
         if self.is_ghn:
             assert meta_batch is not None
+            from .meta_executor import InterpMetaBatch
+            if isinstance(meta_batch, InterpMetaBatch):
+                if meta_batch.key not in self._step_cache:
+                    self._step_cache[meta_batch.key] = self._interp_step_fn(meta_batch)
+                step_fn = self._step_cache[meta_batch.key]
+                b = meta_batch.batch
+                arch = {k: jnp.asarray(v) for k, v in meta_batch.arch.items()}
+                new_params, self.opt_state, m = step_fn(
+                    self._params(), self.opt_state, jnp.asarray(b.node_op),
+                    jnp.asarray(b.adj), jnp.asarray(meta_batch.shape_ind),
+                    jnp.asarray(b.mask), arch, images, labels)
+                return self._finish_update(new_params, m, len(labels))
             if meta_batch.key not in self._step_cache:
                 self._step_cache[meta_batch.key] = self._meta_step_fn(meta_batch)
             step_fn = self._step_cache[meta_batch.key]
@@ -349,10 +411,12 @@ class Trainer:
             new_params, self.opt_state, m = self._step_cache[()](
                 self._params(), self.opt_state, images, labels)
 
+        return self._finish_update(new_params, m, len(labels))
+
+    def _finish_update(self, new_params, m, n):
         self._set_params(new_params)
         m = {k: float(v) for k, v in m.items()}
         self.skipped_updates += int(m.pop('skipped', 0))
-        n = len(labels)
         for k, meter in self.metrics.items():
             if k in m:
                 meter.update(m[k], n)

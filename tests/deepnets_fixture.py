@@ -117,7 +117,7 @@ def build_fixture(nets_dir: str, n_copies: int = 2):
         nets_meta.append({
             'genotype': geno_dict,
             'n_cells': args['n_cells'],
-            'n_nodes': int(n),
+            'num_nodes': int(n),   # published ppuda metadata key
             'num_params': {'cifar10': sum(p.numel() for p in net.parameters()) ,
                            'imagenet': sum(p.numel() for p in net.parameters())},
             'glob_avg': args['glob_avg'], 'preproc': args['preproc'],

@@ -1,74 +1,148 @@
-#!/usr/bin/env python
-"""Meta-training step throughput on the current device (GHN-3-T-sized recipe):
-meta-batch of genotype Networks on synthetic CIFAR-sized images, fp32 vs bf16
-graphormer compute."""
+"""Meta-training throughput benchmark: fresh architectures EVERY step.
+
+Measures the property the reference workload requires (new nets per step from an
+infinite sampler over 1M architectures, /root/reference/ghn3/deepnets1m.py:282-319):
+steady-state step time with zero recompiles after warmup, streaming unique
+meta-batches through the genotype-as-data executor.
+
+Prints one JSON line:
+  {"steps", "unique_archs", "compiled_programs", "warmup_sec",
+   "steady_sec_per_step", "archs_per_sec", "device"}
+
+Usage: python tools/bench_train.py [--steps 110] [--meta-bs 4] [--batch 32]
+                                   [--hid 64] [--imsize 32] [--platform tpu|cpu]
+"""
+import argparse
+import json
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from ghn3_tpu.utils.cache import enable_persistent_cache
-enable_persistent_cache()
 
-import dataclasses
-import jax
-import numpy as np
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--steps', type=int, default=110)
+    ap.add_argument('--warmup', type=int, default=6)
+    ap.add_argument('--meta-bs', type=int, default=4)
+    ap.add_argument('--batch', type=int, default=32)
+    ap.add_argument('--hid', type=int, default=64)
+    ap.add_argument('--layers', type=int, default=3)
+    ap.add_argument('--imsize', type=int, default=32)
+    ap.add_argument('--n-cells', type=int, default=4)
+    ap.add_argument('--widths', type=int, nargs='+', default=[32])
+    ap.add_argument('--platform', default=None)
+    args = ap.parse_args()
 
-from ghn3_tpu import GHN3, GHNConfig
-from ghn3_tpu.graph.genotypes import Genotype
-from ghn3_tpu.graph.graphdef import GraphBatch
-from ghn3_tpu.graph.torch_trace import trace_torch_model
-from ghn3_tpu.nets.darts import Network
-from ghn3_tpu.nets.torch_darts import build_torch_network
-from ghn3_tpu.parallel.trainer import Trainer, build_meta_batch
+    if args.platform:
+        os.environ['JAX_PLATFORMS'] = args.platform
+    import jax
+    if args.platform:
+        jax.config.update('jax_platforms', args.platform)
+    import numpy as np
 
-GENOS = [
-    Genotype(normal=[('conv_3x3', 0), ('conv_5x5', 1)], normal_concat=[2],
-             reduce=[('conv_3x3', 0), ('skip_connect', 1)], reduce_concat=[2]),
-    Genotype(normal=[('sep_conv_3x3', 0), ('max_pool_3x3', 1)], normal_concat=[2],
-             reduce=[('dil_conv_3x3', 0), ('avg_pool_3x3', 1)], reduce_concat=[2]),
-    Genotype(normal=[('msa', 0), ('skip_connect', 1)], normal_concat=[2],
-             reduce=[('msa', 0), ('skip_connect', 1)], reduce_concat=[2]),
-    Genotype(normal=[('conv_3x3', 0), ('cse', 1)], normal_concat=[2],
-             reduce=[('conv_3x3', 0), ('skip_connect', 1)], reduce_concat=[2]),
-]
-ARGS = dict(n_cells=4, C=32, glob_avg=True, preproc=True, C_mult=2, fc_layers=1,
-            fc_dim=0, stem_type=0, stem_pool=False, norm='bn', ks=3)
+    from ghn3_tpu.config import GHNConfig
+    from ghn3_tpu.graph.genotypes import Genotype, random_genotype
+    from ghn3_tpu.models.ghn_core import init_ghn_params
+    from ghn3_tpu.nets.darts import Network
+    from ghn3_tpu.nets import interpreter as itp
+    from ghn3_tpu.parallel.meta_executor import build_interp_batch
+    from ghn3_tpu.parallel.trainer import Trainer
 
-
-def run(dtype: str, batch_size: int = 64, steps: int = 10):
-    cfg = GHNConfig(hid=64, heads=8, layers=3, max_shape=(64, 64, 11, 11),
-                    num_classes=10, layernorm=True, dtype=dtype)
-    ghn = GHN3(cfg, seed=0)
-    nets, graphs = [], []
-    for geno in GENOS:
-        twin = build_torch_network(geno, num_classes=10, is_imagenet_input=False, **ARGS)
-        graphs.append(trace_torch_model(twin, ve_cutoff=cfg.ve_cutoff))
-        nets.append(Network(genotype=geno, num_classes=10, is_imagenet_input=False,
-                            imagenet_stride=4, auxiliary=False, **ARGS))
-    mb = build_meta_batch(cfg, GraphBatch.from_graphs(graphs), nets)
-    print(f'[{dtype}] meta-batch: {len(nets)} nets, N_pad={mb.batch.n_pad}, '
-          f'{sum(len(v) for v in mb.plan.groups.values())} tensors')
+    ops = ('sep_conv_3x3', 'conv_3x3', 'max_pool_3x3', 'skip_connect',
+           'dil_conv_3x3', 'avg_pool_3x3', 'none')
+    vocab = itp.vocab_from_genotypes([Genotype(normal=[(o, 0) for o in ops],
+                                               normal_concat=[2], reduce=[],
+                                               reduce_concat=[])])
+    cfg = GHNConfig(hid=args.hid, heads=8 if args.hid % 8 == 0 else 4,
+                    layers=args.layers, max_shape=(64, 64, 11, 11), num_classes=10)
 
     rng = np.random.default_rng(0)
-    images = rng.normal(size=(batch_size, 3, 32, 32)).astype(np.float32)
-    labels = rng.integers(0, 10, size=(batch_size,))
-    trainer = Trainer(ghn=ghn, opt='adamw', opt_args={'lr': 4e-4, 'weight_decay': 1e-2},
-                      scheduler='cosine-warmup', n_batches=steps, epochs=1,
-                      predparam_wd=3e-5, grad_clip=5.0)
-    t0 = time.time()
-    trainer.update(images, labels, meta_batch=mb)
-    print(f'[{dtype}] compile+first step: {time.time() - t0:.1f}s')
-    t0 = time.time()
-    for _ in range(steps):
-        m = trainer.update(images, labels, meta_batch=mb)
-    dt = (time.time() - t0) / steps
-    print(f'[{dtype}] steady-state: {dt * 1e3:.0f} ms/step '
-          f'({batch_size / dt:.0f} img/s x {len(nets)} nets), loss={m["loss"].avg:.3f}')
+    need = args.steps * args.meta_bs
+    seen = set()
+    graphs_by_width = {c: [] for c in args.widths}
+    while sum(len(v) for v in graphs_by_width.values()) < need:
+        geno = random_genotype(rng, steps=2, ops=ops)
+        sig = repr(geno)
+        if sig in seen:
+            continue
+        c = int(rng.choice(args.widths))
+        net_args = dict(genotype=geno, C=c, n_cells=args.n_cells, ks=3,
+                        preproc=True, C_mult=2, fc_layers=1, fc_dim=0,
+                        stem_type=0, stem_pool=False, norm='bn', glob_avg=True,
+                        imagenet_stride=4)
+        try:
+            net = Network(num_classes=10, is_imagenet_input=args.imsize > 64,
+                          **net_args)
+            g = net.graph_def()
+            g.net_args = dict(net_args)
+            itp.encode_arch(g, num_classes=10, is_imagenet_input=args.imsize > 64,
+                            vocab=vocab)
+        except Exception:
+            continue
+        seen.add(sig)
+        graphs_by_width[c].append(g)
+
+    class _Hyper:
+        def __init__(self, c, p):
+            self.config, self.params = c, p
+
+    params = init_ghn_params(jax.random.PRNGKey(0), cfg)
+    trainer = Trainer(ghn=_Hyper(cfg, params), opt='adamw',
+                      opt_args={'lr': 4e-4, 'weight_decay': 1e-2},
+                      n_batches=args.steps, predparam_wd=3e-5,
+                      label_smoothing=0.1, log_interval=10 ** 9)
+
+    img_rng = np.random.default_rng(1)
+    images = img_rng.normal(size=(args.batch, 3, args.imsize, args.imsize)) \
+        .astype(np.float32)
+    labels = img_rng.integers(0, 10, size=(args.batch,))
+
+    # one fixed pad per width keeps the program count = #widths
+    pads = {c: int(np.ceil(max(g.n_nodes for g in gs) / 16) * 16)
+            for c, gs in graphs_by_width.items()}
+
+    batches = []
+    cursors = {c: 0 for c in args.widths}
+    for step in range(args.steps):
+        c = args.widths[step % len(args.widths)]
+        gs = graphs_by_width[c]
+        i = cursors[c]
+        group = gs[i:i + args.meta_bs]
+        if len(group) < args.meta_bs:
+            break
+        cursors[c] = i + args.meta_bs
+        batches.append(build_interp_batch(cfg, group, num_classes=10,
+                                          is_imagenet_input=args.imsize > 64,
+                                          vocab=vocab, pad_to=pads[c]))
+
+    t0 = time.perf_counter()
+    times = []
+    for i, ib in enumerate(batches):
+        t = time.perf_counter()
+        trainer.update(images, labels, meta_batch=ib)
+        jax.block_until_ready(trainer._params()['embed.weight'])
+        times.append(time.perf_counter() - t)
+    total = time.perf_counter() - t0
+
+    steady = sorted(times[args.warmup:])[len(times[args.warmup:]) // 2]
+    result = {
+        'steps': len(batches),
+        'unique_archs': len(batches) * args.meta_bs,
+        'compiled_programs': len(trainer._step_cache),
+        'warmup_sec': round(sum(times[:args.warmup]), 3),
+        'steady_sec_per_step': round(steady, 4),
+        'archs_per_sec': round(args.meta_bs / steady, 2),
+        'total_sec': round(total, 2),
+        'loss': round(trainer.metrics['loss'].avg, 4),
+        'device': str(jax.devices()[0]).replace('\n', ' '),
+    }
+    assert result['compiled_programs'] <= len(args.widths), \
+        f'recompile detected: {result}'
+    print(json.dumps(result))
+    return result
 
 
 if __name__ == '__main__':
-    print('device:', jax.devices()[0])
-    run('float32')
-    run('bfloat16')
+    main()
