@@ -1,18 +1,27 @@
 #!/usr/bin/env python
 """Headline benchmark: parameter-prediction throughput of a GHN-3-XL-sized
-hypernetwork over a suite of full-size target architectures (ResNet family + ViT).
+hypernetwork over the full zoo suite, plus MFU and meta-training steady state.
 
 Mirrors the reference eval sweep (eval_ghn.py --split torch) which predicts
 parameters per torchvision model on a GPU; here graphs are compiled host-side
 once per architecture and predictions run batched on TPU in node-count buckets.
 
-Baseline (BASELINE.md north star): ghn3xlm16 predicting the torchvision split at
->= 10x A100 models/sec on v5e-8. The published reference has no absolute
-throughput number; we normalize vs_baseline against 10 models/sec (the 10x-A100
-target assuming ~1 model/sec on A100, the order of magnitude the reference's
-per-model prediction timing reports).
+Scope honesty: throughput/MFU are measured with randomly initialized GHN weights
+(published checkpoints are not fetchable in this zero-egress environment), so
+accuracy parity is NOT covered here — the golden tests in tests/ cover numerics
+against the reference implementation instead. vs_baseline normalizes against
+10 models/sec (BASELINE.md north star: >= 10x an assumed ~1 model/sec A100).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+MFU: total XLA-reported FLOPs of the executed programs (graphormer forward +
+fused decode/assemble) / wall time / peak. Peak assumed 197e12 FLOP/s for a
+TPU v5e chip (bf16); the fp32-precision run understates achievable MFU.
+
+Meta-train detail: steady-state step time streaming FRESH architectures every
+step through the genotype-as-data executor (tools/bench_train.py inline) —
+the reference's core workload (train_ghn_ddp.py, fresh meta-batches from the
+infinite DeepNets-1M sampler).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 """
 import json
 import os
@@ -23,45 +32,54 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+V5E_PEAK_FLOPS = 197e12   # bf16 peak of one v5e (v5 lite) chip
 
-def main():
-    import jax
-    from ghn3_tpu.utils.cache import enable_persistent_cache
-    enable_persistent_cache()
-    import jax as _jax
+
+def _flops(compiled) -> float:
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get('flops', 0.0))
+    except Exception:
+        return 0.0
+
+
+def predict_suite(jax):
     from ghn3_tpu import GHN3, GHNConfig
+    from ghn3_tpu import predict as P
+    from ghn3_tpu.graph.cache import cached_graph
     from ghn3_tpu.graph.graphdef import GraphBatch
     from ghn3_tpu.graph.torch_trace import trace_torch_model
-    from ghn3_tpu.predict import predict_packed
+    from ghn3_tpu.torch_interop import torch_param_table
     from ghn3_tpu.zoo.jax_zoo import JAX_ZOO
     from ghn3_tpu.zoo.torch_zoo import TORCH_ZOO
 
-    suite = ['resnet18', 'resnet34', 'resnet50', 'resnet101', 'resnet152',
-             'wide_resnet50_2', 'vit_b_16']
-
+    suite = sorted(TORCH_ZOO)
     cfg = GHNConfig.ghn3_xl()
     # init on CPU (avoids a dozen TPU init-program compiles), then one transfer
-    with _jax.default_device(_jax.devices('cpu')[0]):
+    with jax.default_device(jax.devices('cpu')[0]):
         ghn = GHN3(cfg, seed=0)
-    device = _jax.devices()[0]
-    ghn.params = {k: _jax.device_put(v, device) for k, v in ghn.params.items()}
+    device = jax.devices()[0]
+    ghn.params = {k: jax.device_put(v, device) for k, v in ghn.params.items()}
 
     t0 = time.time()
-    from ghn3_tpu.graph.cache import cached_graph
-    graphs = {n: cached_graph(n, lambda n=n: trace_torch_model(TORCH_ZOO[n](),
+    models = {n: TORCH_ZOO[n]() for n in suite}
+    graphs = {n: cached_graph(n, lambda n=n: trace_torch_model(models[n],
                                                                ve_cutoff=cfg.ve_cutoff),
                               ve_cutoff=cfg.ve_cutoff) for n in suite}
-    nets = {name: JAX_ZOO[name]() for name in suite}
+    tables = {n: (JAX_ZOO[n]().param_table() if n in JAX_ZOO
+                  else torch_param_table(models[n])) for n in suite}
     t_graphs = time.time() - t0
 
-    # one merged padded batch -> a single forward + assemble program pair
+    # merged padded batches by node bucket -> few forward + assemble programs
     names = sorted(suite, key=lambda n: graphs[n].n_nodes)
     batch = GraphBatch.from_graphs([graphs[n] for n in names])
 
     def run_sweep():
-        views = predict_packed(ghn.params, cfg, batch,
-                               [nets[n].param_table() for n in names])
-        _jax.block_until_ready(views[0].buffer)
+        views = P.predict_packed(ghn.params, cfg, batch,
+                                 [tables[n] for n in names])
+        jax.block_until_ready(views[0].buffer)
 
     run_sweep()  # warmup: compile every (bucket, decode-key) program
     n_rep = 3
@@ -70,22 +88,84 @@ def main():
         run_sweep()
     t_predict = (time.time() - t0) / n_rep
 
-    n_models = len(suite)
-    # steady-state sweep throughput: graph compile is cached per arch (the
-    # reference rebuilds graphs per call; we report prediction throughput with
-    # prebuilt graphs plus the one-time graph-build cost separately)
-    models_per_sec = n_models / t_predict
+    # FLOPs of the two executed programs for MFU
+    plan = P.build_plan(batch, [tables[n] for n in names], cfg)
+    levels = np.zeros_like(batch.node_op)
+    fwd_flops = _flops(P._forward_fn(cfg).lower(
+        ghn.params, batch.node_op, batch.adj, plan.shape_ind, batch.mask,
+        levels).compile())
+    active = list(plan.groups.items())
+    signature = tuple(
+        (key, tuple((tuple(it.target_sz), bool(it.record.is_w)) for it in items))
+        for key, items in active)
+    inds_groups = []
+    for key, items in active:
+        g = len(items)
+        inds = np.zeros((P._group_bucket(g),), dtype=np.int32)
+        inds[:g] = [it.flat_idx for it in items]
+        inds_groups.append(inds)
+    x_flat_shape = jax.ShapeDtypeStruct((len(batch) * batch.n_pad, cfg.hid),
+                                        np.float32)
+    asm_flops = _flops(P._assemble_all_fn(cfg, signature, cfg.weight_norm).lower(
+        ghn.params, x_flat_shape, tuple(inds_groups)).compile())
+
+    total_flops = fwd_flops + asm_flops
+    mfu = total_flops / t_predict / V5E_PEAK_FLOPS if total_flops else None
+    return {
+        'suite': len(suite),
+        'models_per_sec': len(suite) / t_predict,
+        'predict_sweep_sec': round(t_predict, 3),
+        'graph_build_total_sec': round(t_graphs, 2),
+        'sweep_gflops': round(total_flops / 1e9, 1),
+        'mfu_vs_v5e_bf16_peak': round(mfu, 6) if mfu is not None else None,
+    }
+
+
+def meta_train_detail():
+    """Steady-state meta-training with fresh architectures every step."""
+    import tools.bench_train as bt
+    argv = sys.argv
+    sys.argv = ['bench_train.py', '--steps', '36', '--warmup', '6',
+                '--meta-bs', '4', '--batch', '64', '--hid', '64',
+                '--layers', '3', '--n-cells', '4', '--widths', '32']
+    try:
+        import io
+        import contextlib
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            res = bt.main()
+        return res
+    finally:
+        sys.argv = argv
+
+
+def main():
+    import jax
+    from ghn3_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    pred = predict_suite(jax)
+    detail = {
+        'platform': jax.devices()[0].platform,
+        'device': str(jax.devices()[0]),
+        **pred,
+        'accuracy_scope': 'random-init GHN weights; checkpoint-accuracy parity '
+                          'covered by golden tests offline, not measurable here',
+    }
+    if os.environ.get('GHN3_BENCH_FAST', '') != '1':
+        try:
+            detail['meta_train'] = meta_train_detail()
+        except Exception as e:   # never lose the headline metric
+            detail['meta_train'] = {'error': repr(e)}
+
+    models_per_sec = pred['models_per_sec']
     result = {
-        'metric': 'models/sec param-prediction on TPU (ghn3xl-sized, %d-arch suite, device-resident params)' % n_models,
+        'metric': 'models/sec param-prediction on TPU (ghn3xl-sized, '
+                  '%d-arch zoo suite, device-resident params)' % pred['suite'],
         'value': round(models_per_sec, 3),
         'unit': 'models/sec',
         'vs_baseline': round(models_per_sec / 10.0, 3),
-        'detail': {
-            'graph_build_total_sec': round(t_graphs, 2),
-            'predict_sweep_sec': round(t_predict, 3),
-            'platform': jax.devices()[0].platform,
-            'device': str(jax.devices()[0]),
-        },
+        'detail': detail,
     }
     print(json.dumps(result))
 

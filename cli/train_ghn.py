@@ -8,8 +8,14 @@ Examples:
       --scheduler cosine-warmup --predparam_wd 3e-5 --amp
 
 Architectures come from DeepNets-1M when its files exist under --nets_dir;
-otherwise a synthetic pool of native-spec ConvNets is used (each meta-batch is a
-compiled program, cycled across steps — see docs/DESIGN.md).
+otherwise a synthetic genotype stream is generated. Two executors:
+
+* --executor interpreter (default): the genotype-as-data super-net — FRESH
+  architectures every step with one compiled program per static bucket
+  (matches the reference's infinite-sampler workload,
+  /root/reference/ghn3/deepnets1m.py:282-319, without the per-net retrace).
+* --executor pool: one compiled program per meta-batch, cycled across steps
+  (round-1 behavior; useful for non-genotype native-spec targets).
 """
 import os
 import sys
@@ -25,6 +31,75 @@ from ghn3_tpu.parallel.mesh import data_mesh, maybe_init_distributed
 from ghn3_tpu.parallel.trainer import Trainer, build_meta_batch
 from ghn3_tpu.utils.config import init_config
 from ghn3_tpu.utils.logging import log
+
+
+SYNTH_OPS = ('sep_conv_3x3', 'conv_3x3', 'max_pool_3x3', 'skip_connect',
+             'dil_conv_3x3', 'avg_pool_3x3', 'none')
+
+
+def synthetic_genotype_stream(args, seed=None):
+    """Infinite stream of random genotype GraphDefs (constructive builder, no
+    torch, no Network instantiation) for training without DeepNets-1M files."""
+    from ghn3_tpu.graph.genotypes import random_genotype
+    from ghn3_tpu.nets.darts_graph import build_genotype_graph
+
+    ops = SYNTH_OPS
+    rng = np.random.default_rng(args.seed if seed is None else seed)
+    widths = (32, 48) if args.dataset != 'synthetic' else (16, 32)
+    while True:
+        geno = random_genotype(rng, steps=2, ops=ops)
+        net_args = dict(genotype=geno, C=int(rng.choice(widths)), n_cells=4,
+                        ks=3, preproc=True, C_mult=2, fc_layers=1, fc_dim=0,
+                        stem_type=0, stem_pool=False, norm='bn', glob_avg=True,
+                        imagenet_stride=4)
+        try:
+            g = build_genotype_graph(num_classes=args.num_classes,
+                                     is_imagenet_input=args.dataset == 'imagenet',
+                                     ve_cutoff=max(1, args.virtual_edges),
+                                     **net_args)
+        except (AssertionError, ValueError):
+            continue      # degenerate sample (dead output), like a rejected draw
+        g.net_args = net_args
+        yield g
+
+
+def build_interp_stream(args, cfg):
+    """Iterator of InterpMetaBatch: DeepNets-1M stream if files exist, else the
+    synthetic genotype stream; regrouped into bucket-homogeneous meta-batches."""
+    from ghn3_tpu.parallel.meta_executor import (BucketQueue, build_interp_batch,
+                                                 stream_interp_batches)
+    is_imagenet = args.dataset == 'imagenet'
+    h5 = os.path.join(args.nets_dir, 'deepnets1m_train.hdf5')
+    if os.path.exists(h5):
+        from ghn3_tpu.data.deepnets1m import DeepNets1M, NodeBudgetSampler
+        ds = DeepNets1M(split='train', nets_dir=args.nets_dir,
+                        virtual_edges=args.virtual_edges, num_nets=args.num_nets,
+                        large_images=is_imagenet, seed=args.seed, attach_net=False)
+        sampler = NodeBudgetSampler(ds, meta_batch_size=args.meta_batch_size,
+                                    seed=args.seed)
+        log(f'interpreter executor: streaming DeepNets-1M ({len(ds)} nets), '
+            f'vocab={ds.interpreter_vocab()}')
+        return stream_interp_batches(ds, sampler, cfg, args.meta_batch_size,
+                                     num_classes=args.num_classes,
+                                     is_imagenet_input=is_imagenet,
+                                     patience=args.bucket_patience,
+                                     vocab=ds.interpreter_vocab())
+
+    from ghn3_tpu.nets.interpreter import vocab_from_primitives
+    vocab = vocab_from_primitives(SYNTH_OPS)
+
+    def gen():
+        queue = BucketQueue(args.meta_batch_size, num_classes=args.num_classes,
+                            is_imagenet_input=is_imagenet,
+                            patience=args.bucket_patience, vocab=vocab)
+        for g in synthetic_genotype_stream(args):
+            group = queue.push(g)
+            if group is not None:
+                yield build_interp_batch(cfg, group, num_classes=args.num_classes,
+                                         is_imagenet_input=is_imagenet, vocab=vocab)
+    log('interpreter executor: synthetic genotype stream '
+        f'(DeepNets-1M files not found at {args.nets_dir})')
+    return gen()
 
 
 def build_arch_pool(args, cfg, pool_size=None):
@@ -64,13 +139,17 @@ def main():
     maybe_init_distributed()
     args = init_config('train_ghn')
 
-    if args.ghn2:
-        raise NotImplementedError('GHN-2 (GatedGNN) training is not implemented yet')
-
     s = 16 if args.dataset == 'imagenet' else 11
+    # GHN-2 recipe (reference train_ghn_ddp.py:57-82): GatedGNN hypernetwork,
+    # doubled default max_shape, no predicted-param regularization
+    max_shape = args.max_shape
+    if args.ghn2 and max_shape == 64:
+        max_shape = args.hid * 2
+    if args.ghn2:
+        args.predparam_wd = 0.0
     cfg = GHNConfig(hid=args.hid, heads=args.heads, layers=args.layers,
-                    max_shape=(args.max_shape, args.max_shape, s, s),
-                    num_classes=args.num_classes,
+                    max_shape=(max_shape, max_shape, s, s),
+                    num_classes=args.num_classes, is_ghn2=args.ghn2,
                     ve=args.virtual_edges > 1, ve_cutoff=max(1, args.virtual_edges),
                     weight_norm=args.weight_norm, layernorm=args.ln,
                     dtype='bfloat16' if args.amp else 'float32')
@@ -78,7 +157,11 @@ def main():
     log(f'GHN-3 with {ghn.num_params()} parameters, config: {cfg}')
 
     data = image_loader(args.dataset, args.data_dir, imsize=args.imsize)
-    pool = build_arch_pool(args, cfg)
+    if args.executor == 'interpreter':
+        arch_stream = build_interp_stream(args, cfg)
+        pool = None
+    else:
+        pool = build_arch_pool(args, cfg)
 
     mesh = data_mesh()
     n_batches = max(1, data.num_examples // args.batch_size)
@@ -106,7 +189,8 @@ def main():
                 continue
             if args.max_steps is not None and step >= args.max_steps:
                 break
-            mb = pool[(epoch * n_batches + step) % len(pool)]
+            mb = next(arch_stream) if pool is None else \
+                pool[(epoch * n_batches + step) % len(pool)]
             trainer.update(images, labels, meta_batch=mb)
             trainer.log(step)
             trainer.save(epoch, step, config, interm_epoch=args.interm_epoch)

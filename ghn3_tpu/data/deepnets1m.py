@@ -187,9 +187,17 @@ class DeepNets1M:
         return graph
 
     def interpreter_vocab(self):
-        """Op vocabulary of this dataset for the genotype-as-data executor."""
+        """Op vocabulary of this dataset for the genotype-as-data executor,
+        derived from the stored genotypes (node-level primitives_ext misses
+        no-parameter genotype ops like skip_connect/none)."""
         from ..nets.interpreter import vocab_from_primitives
-        return vocab_from_primitives([n for n in self.primitives_ext if n])
+        names = {'none', 'skip_connect'}
+        for args in self.nets:
+            geno = args['genotype']
+            pairs = (geno['normal'] + geno['reduce']) if isinstance(geno, dict) \
+                else (list(geno.normal) + list(geno.reduce))
+            names.update(op for op, _src in pairs)
+        return vocab_from_primitives(sorted(names))
 
     # ------------------------------------------------------------------
     def decode_record(self, adj: np.ndarray, nodes: np.ndarray, net_args: dict) -> GraphDef:

@@ -40,11 +40,6 @@ class GHN3:
     """Graph HyperNetwork (GHN-3) with JAX parameters."""
 
     def __init__(self, config: GHNConfig, params: Optional[Dict] = None, seed: int = 0):
-        if config.is_ghn2:
-            from .utils.logging import log
-            log('WARNING: GHN-2 (GatedGNN) support is EXPERIMENTAL — structurally '
-                'faithful but not yet fixture-verified against published ghn2.pt '
-                'outputs (see models/gatedgnn.py).')
         self.config = config
         self.params = params if params is not None else init_ghn_params(
             jax.random.PRNGKey(seed), config)

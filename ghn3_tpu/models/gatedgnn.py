@@ -8,9 +8,11 @@ incoming edges, with a separate MLP and 1/distance scaling for virtual edges
 
 The parameter layout matches the published checkpoints
 (``gnn.mlp.fc.*``, ``gnn.mlp_ve.fc.*``, ``gnn.gru.weight_ih/hh, bias_ih/hh``).
-Status: structurally faithful to the paper and the reference call surface
-(SURVEY §2.9); exact numeric parity against the published ghn2.pt has not been
-fixture-verified in this offline environment — treat outputs as experimental.
+Status: golden-tested at 1e-5 against the reference GHN3(is_ghn2=True) running
+over the shim GatedGNN oracle (tests/test_ghn2.py), which validates the full
+GHN-2 integration (sparse batching, corner-crop tiling, decoder paths). The
+GatedGNN spec itself is reconstructed from the paper — final external pinning
+needs the published ghn2.pt (fixture-gated tests, docs/PROVENANCE.md).
 
 TPU formulation: topological *levels* are computed host-side; the device loop
 runs ``lax.fori_loop`` over levels with masked GRU updates — sequential

@@ -112,6 +112,32 @@ class Hardswish(FModule):
         return jax.nn.hard_swish(x)
 
 
+class SiLU(FModule):
+    def __init__(self, inplace=False):
+        super().__init__()
+
+    def __call__(self, P, x, prefix='', training=False):
+        return jax.nn.silu(x)
+
+
+class ReLU6(FModule):
+    def __init__(self, inplace=False):
+        super().__init__()
+
+    def __call__(self, P, x, prefix='', training=False):
+        return jnp.clip(x, 0.0, 6.0)
+
+
+class Sigmoid(FModule):
+    def __call__(self, P, x, prefix='', training=False):
+        return jax.nn.sigmoid(x)
+
+
+class Flatten(FModule):
+    def __call__(self, P, x, prefix='', training=False):
+        return x.reshape(x.shape[0], -1)
+
+
 class Dropout(FModule):
     """Deterministic inference dropout (identity); stochastic mode is handled by
     the trainer passing explicit rng when needed."""
@@ -207,13 +233,26 @@ class LayerNorm(FModule):
         return y * self.p(P, prefix, 'weight') + self.p(P, prefix, 'bias')
 
 
-def _pool(x, kind, kernel, stride, padding, count_include_pad=True):
+def _pool(x, kind, kernel, stride, padding, count_include_pad=True,
+          ceil_mode=False):
     k = _pair(kernel)
     s = _pair(stride if stride is not None else kernel)
     p = _pair(padding)
     dims = (1, 1, k[0], k[1])
     strides = (1, 1, s[0], s[1])
-    pads = ((0, 0), (0, 0), (p[0], p[0]), (p[1], p[1]))
+    pads = [(0, 0), (0, 0), [p[0], p[0]], [p[1], p[1]]]
+    if ceil_mode:
+        # torch ceil_mode: extend the right/bottom padding so the last window
+        # starts inside the (left-padded) input
+        for d, (hk, hs, hp) in enumerate(zip(k, s, p)):
+            size = x.shape[2 + d]
+            out_ceil = -(-(size + 2 * hp - hk) // hs) + 1
+            # last window must start within input+left padding (torch rule)
+            if (out_ceil - 1) * hs >= size + hp:
+                out_ceil -= 1
+            needed = (out_ceil - 1) * hs + hk - size - hp
+            pads[2 + d][1] = max(hp, needed)
+    pads = tuple(tuple(v) for v in pads)
     if kind == 'max':
         return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, dims, strides, pads)
     summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, dims, strides, pads)
@@ -228,9 +267,34 @@ class MaxPool2d(FModule):
     def __init__(self, kernel_size, stride=None, padding=0, ceil_mode=False):
         super().__init__()
         self.k, self.s, self.pad = kernel_size, stride, padding
+        self.ceil_mode = ceil_mode
 
     def __call__(self, P, x, prefix='', training=False):
-        return _pool(x, 'max', self.k, self.s, self.pad)
+        return _pool(x, 'max', self.k, self.s, self.pad, ceil_mode=self.ceil_mode)
+
+
+def adaptive_avg_pool2d(x, output_size):
+    """torch.nn.functional.adaptive_avg_pool2d semantics: per-cell windows
+    [floor(i*H/h), ceil((i+1)*H/h)). Uniform reduce_window when divisible;
+    static unrolled slices otherwise (output sizes are tiny: <= 7x7)."""
+    oh, ow = _pair(output_size)
+    b, c, h, w = x.shape
+    if oh == 1 and ow == 1:
+        return x.mean(axis=(2, 3), keepdims=True)
+    if h % oh == 0 and w % ow == 0:
+        kh, kw = h // oh, w // ow
+        y = jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, 1, kh, kw),
+                                  (1, 1, kh, kw), 'VALID')
+        return y / (kh * kw)
+    rows = []
+    for i in range(oh):
+        h0, h1 = (i * h) // oh, -(-((i + 1) * h) // oh)
+        cols = []
+        for j in range(ow):
+            w0, w1 = (j * w) // ow, -(-((j + 1) * w) // ow)
+            cols.append(x[:, :, h0:h1, w0:w1].mean(axis=(2, 3)))
+        rows.append(jnp.stack(cols, axis=-1))
+    return jnp.stack(rows, axis=-2)
 
 
 class AvgPool2d(FModule):
@@ -246,10 +310,10 @@ class AvgPool2d(FModule):
 class AdaptiveAvgPool2d(FModule):
     def __init__(self, output_size=1):
         super().__init__()
-        assert output_size in (1, (1, 1)), 'only global average pooling is supported'
+        self.output_size = output_size
 
     def __call__(self, P, x, prefix='', training=False):
-        return x.mean(axis=(2, 3), keepdims=True)
+        return adaptive_avg_pool2d(x, self.output_size)
 
 
 class Sequential(FModule):

@@ -239,9 +239,10 @@ class Trainer:
         optimizer = self.optimizer
         predparam_wd = self.predparam_wd
 
-        def step(params, opt_state, node_op, adj, shape_ind, mask, images, labels):
+        def step(params, opt_state, node_op, adj, shape_ind, mask, levels,
+                 images, labels):
             def loss_fn(p):
-                x = ghn_forward(p, cfg, node_op, adj, shape_ind, mask)
+                x = ghn_forward(p, cfg, node_op, adj, shape_ind, mask, levels=levels)
                 x_flat = x.reshape(-1, cfg.hid)
                 for net in nets:
                     net.predicted = {}
@@ -301,14 +302,23 @@ class Trainer:
         optimizer = self.optimizer
         predparam_wd = self.predparam_wd
 
-        def step(params, opt_state, node_op, adj, shape_ind, mask, arch, images, labels):
+        # remat: recompute each target net's forward during backward instead of
+        # storing activations — the meta-batch scan otherwise holds every net's
+        # activation set at once and blows HBM at batch 128 (trading ~1.3x
+        # FLOPs for ~B_meta x activation memory)
+        @jax.checkpoint
+        def net_fwd(p, x_b, arch_b, images):
+            return interpret_forward(p, cfg, bucket, x_b, arch_b, images)
+
+        def step(params, opt_state, node_op, adj, shape_ind, mask, levels,
+                 arch, images, labels):
             def loss_fn(p):
-                x = ghn_forward(p, cfg, node_op, adj, shape_ind, mask)   # (B, N, hid)
+                x = ghn_forward(p, cfg, node_op, adj, shape_ind, mask,
+                                levels=levels)   # (B, N, hid)
 
                 def per_net(carry, xs):
                     x_b, arch_b = xs
-                    logits, predwd = interpret_forward(p, cfg, bucket, x_b, arch_b,
-                                                       images)
+                    logits, predwd = net_fwd(p, x_b, arch_b, images)
                     return carry, (logits, self._loss_from_logits(logits, labels),
                                    predwd)
 
@@ -387,24 +397,27 @@ class Trainer:
         if self.is_ghn:
             assert meta_batch is not None
             from .meta_executor import InterpMetaBatch
+            from ..predict import batch_levels
+            b = meta_batch.batch
+            levels = jnp.asarray(batch_levels(b)) if self.cfg.is_ghn2 \
+                else jnp.zeros_like(jnp.asarray(b.node_op))
             if isinstance(meta_batch, InterpMetaBatch):
                 if meta_batch.key not in self._step_cache:
                     self._step_cache[meta_batch.key] = self._interp_step_fn(meta_batch)
                 step_fn = self._step_cache[meta_batch.key]
-                b = meta_batch.batch
                 arch = {k: jnp.asarray(v) for k, v in meta_batch.arch.items()}
                 new_params, self.opt_state, m = step_fn(
                     self._params(), self.opt_state, jnp.asarray(b.node_op),
                     jnp.asarray(b.adj), jnp.asarray(meta_batch.shape_ind),
-                    jnp.asarray(b.mask), arch, images, labels)
+                    jnp.asarray(b.mask), levels, arch, images, labels)
                 return self._finish_update(new_params, m, len(labels))
             if meta_batch.key not in self._step_cache:
                 self._step_cache[meta_batch.key] = self._meta_step_fn(meta_batch)
             step_fn = self._step_cache[meta_batch.key]
-            b = meta_batch.batch
             new_params, self.opt_state, m = step_fn(
                 self._params(), self.opt_state, jnp.asarray(b.node_op), jnp.asarray(b.adj),
-                jnp.asarray(meta_batch.plan.shape_ind), jnp.asarray(b.mask), images, labels)
+                jnp.asarray(meta_batch.plan.shape_ind), jnp.asarray(b.mask), levels,
+                images, labels)
         else:
             if () not in self._step_cache:
                 self._step_cache[()] = self._model_step_fn()

@@ -60,7 +60,17 @@ def base_parser(mode: str) -> argparse.ArgumentParser:
         p.add_argument('--ghn2', action='store_true', help='GHN-2 baseline mode')
         p.add_argument('--pool_size', type=int, default=8,
                        help='architecture-pool size (one compiled program per '
-                            'meta-batch; lower = less compile time)')
+                            'meta-batch; lower = less compile time; '
+                            '--executor pool only)')
+        p.add_argument('--executor', type=str, default='interpreter',
+                       choices=['interpreter', 'pool'],
+                       help='interpreter: genotype-as-data super-net, fresh '
+                            'architectures every step, one compiled program per '
+                            'bucket (the reference workload); pool: one compiled '
+                            'program per meta-batch, cycled')
+        p.add_argument('--bucket_patience', type=int, default=64,
+                       help='flush a partially-filled bucket after this many '
+                            'streamed nets (interpreter executor)')
     if mode in ('train_ghn', 'train_net'):
         p.add_argument('--opt', type=str, default='adamw' if mode == 'train_ghn' else 'sgd')
         p.add_argument('--lr', type=float, default=4e-4 if mode == 'train_ghn' else 0.1)

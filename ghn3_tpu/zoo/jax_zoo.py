@@ -14,8 +14,10 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..nets.functional import (BatchNorm2d, Conv2d, FModule,
-                               LayerNorm, Linear, MaxPool2d, Sequential)
+from ..nets.functional import (AdaptiveAvgPool2d, AvgPool2d, BatchNorm2d, Conv2d,
+                               Dropout, FModule, Flatten, GELU, Identity,
+                               LayerNorm, Linear, MaxPool2d, ReLU, ReLU6,
+                               Sequential, SiLU, adaptive_avg_pool2d)
 
 
 class _BasicBlock(FModule):
@@ -202,6 +204,729 @@ class ViTF(FModule):
     param_table = ResNetF.param_table
 
 
+class _Target(FModule):
+    """GHN target protocol shared by every functional twin."""
+    _n_cells = 1
+
+    param_shapes = ResNetF.param_shapes
+    param_table = ResNetF.param_table
+
+
+def _conv_bn_act(cin, cout, k=3, stride=1, padding=None, groups=1, act='relu'):
+    acts = {'relu': ReLU, 'relu6': ReLU6, 'silu': SiLU, None: Identity}
+    return Sequential(Conv2d(cin, cout, k, stride=stride,
+                             padding=k // 2 if padding is None else padding,
+                             groups=groups, bias=False),
+                      BatchNorm2d(cout), acts[act]())
+
+
+class _SeqNet(_Target):
+    """features -> avgpool -> flatten -> classifier nets (alexnet, vgg*)."""
+
+    def __init__(self, features, pool_size, classifier, num_classes, input_sz=224):
+        super().__init__()
+        self.features = features
+        self.pool_size = pool_size
+        self.classifier = classifier
+        self.num_classes = num_classes
+        self.expected_input_sz = input_sz
+        self.predicted: Dict[str, jnp.ndarray] = {}
+
+    def __call__(self, P, x, prefix='', training=False):
+        x = self.features(P, x, prefix + 'features.', training)
+        x = adaptive_avg_pool2d(x, self.pool_size).reshape(x.shape[0], -1)
+        return self.classifier(P, x, prefix + 'classifier.', training)
+
+
+def alexnet_f(num_classes=1000, w=1.0):
+    c = lambda v: max(1, int(v * w))
+    feats = Sequential(
+        Conv2d(3, c(64), 11, stride=4, padding=2), ReLU(), MaxPool2d(3, stride=2),
+        Conv2d(c(64), c(192), 5, padding=2), ReLU(), MaxPool2d(3, stride=2),
+        Conv2d(c(192), c(384), 3, padding=1), ReLU(),
+        Conv2d(c(384), c(256), 3, padding=1), ReLU(),
+        Conv2d(c(256), c(256), 3, padding=1), ReLU(), MaxPool2d(3, stride=2))
+    cls = Sequential(Dropout(), Linear(c(256) * 36, c(4096)), ReLU(),
+                     Dropout(), Linear(c(4096), c(4096)), ReLU(),
+                     Linear(c(4096), num_classes))
+    return _SeqNet(feats, (6, 6), cls, num_classes)
+
+
+def vgg11_f(num_classes=1000, w=1.0):
+    c = lambda v: max(1, int(v * w))
+    layers, cin = [], 3
+    for v in (64, 'M', 128, 'M', 256, 256, 'M', 512, 512, 'M', 512, 512, 'M'):
+        if v == 'M':
+            layers.append(MaxPool2d(2, stride=2))
+        else:
+            layers += [Conv2d(cin, c(v), 3, padding=1), ReLU()]
+            cin = c(v)
+    cls = Sequential(Linear(c(512) * 49, c(4096)), ReLU(), Dropout(),
+                     Linear(c(4096), c(4096)), ReLU(), Dropout(),
+                     Linear(c(4096), num_classes))
+    return _SeqNet(Sequential(*layers), (7, 7), cls, num_classes)
+
+
+def vgg16_bn_f(num_classes=1000):
+    layers, cin = [], 3
+    for v in (64, 64, 'M', 128, 128, 'M', 256, 256, 256, 'M', 512, 512, 512, 'M',
+              512, 512, 512, 'M'):
+        if v == 'M':
+            layers.append(MaxPool2d(2, stride=2))
+        else:
+            layers += [Conv2d(cin, v, 3, padding=1), BatchNorm2d(v), ReLU()]
+            cin = v
+    cls = Sequential(Linear(512, 4096), ReLU(), Dropout(),
+                     Linear(4096, 4096), ReLU(), Dropout(),
+                     Linear(4096, num_classes))
+    return _SeqNet(Sequential(*layers), (1, 1), cls, num_classes)
+
+
+class _InvertedResidualV2(FModule):
+    """MobileNetV2 inverted residual: conv Sequential named 'conv'."""
+
+    def __init__(self, cin, cout, stride, expand):
+        super().__init__()
+        hidden = int(round(cin * expand))
+        self.use_res = stride == 1 and cin == cout
+        mods = []
+        if expand != 1:
+            mods.append(_conv_bn_act(cin, hidden, k=1, act='relu6'))
+        mods += [_conv_bn_act(hidden, hidden, stride=stride, groups=hidden, act='relu6'),
+                 Conv2d(hidden, cout, 1, bias=False), BatchNorm2d(cout)]
+        self.conv = Sequential(*mods)
+
+    def __call__(self, P, x, prefix='', training=False):
+        y = self.conv(P, x, prefix + 'conv.', training)
+        return x + y if self.use_res else y
+
+
+class MobileNetV2F(_Target):
+    def __init__(self, num_classes=1000, width_mult=1.0):
+        super().__init__()
+        self.num_classes = num_classes
+        self.expected_input_sz = 224
+        self.predicted: Dict[str, jnp.ndarray] = {}
+
+        def c_round(c):
+            c = int(c * width_mult)
+            return max(8, (c + 4) // 8 * 8)
+
+        cfg = [(1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+               (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1)]
+        cin = c_round(32)
+        feats = [_conv_bn_act(3, cin, stride=2, act='relu6')]
+        for t, c, n, s in cfg:
+            cout = c_round(c)
+            for i in range(n):
+                feats.append(_InvertedResidualV2(cin, cout, s if i == 0 else 1, t))
+                cin = cout
+        last = c_round(1280)
+        feats.append(_conv_bn_act(cin, last, k=1, act='relu6'))
+        self.features = Sequential(*feats)
+        self.classifier = Sequential(Dropout(0.2), Linear(last, num_classes))
+
+    def __call__(self, P, x, prefix='', training=False):
+        x = self.features(P, x, prefix + 'features.', training).mean(axis=(2, 3))
+        return self.classifier(P, x, prefix + 'classifier.', training)
+
+
+class _Fire(FModule):
+    def __init__(self, cin, squeeze, e1, e3):
+        super().__init__()
+        self.squeeze = Conv2d(cin, squeeze, 1)
+        self.expand1x1 = Conv2d(squeeze, e1, 1)
+        self.expand3x3 = Conv2d(squeeze, e3, 3, padding=1)
+
+    def __call__(self, P, x, prefix='', training=False):
+        x = jax.nn.relu(self.squeeze(P, x, prefix + 'squeeze.', training))
+        return jnp.concatenate(
+            [jax.nn.relu(self.expand1x1(P, x, prefix + 'expand1x1.', training)),
+             jax.nn.relu(self.expand3x3(P, x, prefix + 'expand3x3.', training))], axis=1)
+
+
+class SqueezeNetF(_Target):
+    def __init__(self, num_classes=1000):
+        super().__init__()
+        self.num_classes = num_classes
+        self.expected_input_sz = 224
+        self.predicted: Dict[str, jnp.ndarray] = {}
+        self.features = Sequential(
+            Conv2d(3, 64, 3, stride=2), ReLU(),
+            MaxPool2d(3, stride=2, ceil_mode=True),
+            _Fire(64, 16, 64, 64), _Fire(128, 16, 64, 64),
+            MaxPool2d(3, stride=2, ceil_mode=True),
+            _Fire(128, 32, 128, 128), _Fire(256, 32, 128, 128),
+            MaxPool2d(3, stride=2, ceil_mode=True),
+            _Fire(256, 48, 192, 192), _Fire(384, 48, 192, 192),
+            _Fire(384, 64, 256, 256), _Fire(512, 64, 256, 256))
+        self.classifier = Sequential(Dropout(0.5), Conv2d(512, num_classes, 1), ReLU())
+
+    def __call__(self, P, x, prefix='', training=False):
+        x = self.features(P, x, prefix + 'features.', training)
+        x = self.classifier(P, x, prefix + 'classifier.', training)
+        return x.mean(axis=(2, 3))
+
+
+class _DenseLayer(FModule):
+    def __init__(self, cin, growth):
+        super().__init__()
+        self.norm1 = BatchNorm2d(cin)
+        self.conv1 = Conv2d(cin, 4 * growth, 1, bias=False)
+        self.norm2 = BatchNorm2d(4 * growth)
+        self.conv2 = Conv2d(4 * growth, growth, 3, padding=1, bias=False)
+
+    def __call__(self, P, x, prefix='', training=False):
+        y = self.conv1(P, jax.nn.relu(self.norm1(P, x, prefix + 'norm1.', training)),
+                       prefix + 'conv1.', training)
+        return self.conv2(P, jax.nn.relu(self.norm2(P, y, prefix + 'norm2.', training)),
+                          prefix + 'conv2.', training)
+
+
+class _DenseBlock(FModule):
+    def __init__(self, cin, n, growth):
+        super().__init__()
+        layers = FModule()
+        self.layer_list = []
+        for i in range(n):
+            lyr = _DenseLayer(cin + i * growth, growth)
+            layers.add(str(i), lyr)
+            self.layer_list.append(lyr)
+        self.add('layers', layers)
+        self.layers = layers
+
+    def __call__(self, P, x, prefix='', training=False):
+        feats = [x]
+        for i, lyr in enumerate(self.layer_list):
+            inp = jnp.concatenate(feats, axis=1) if len(feats) > 1 else feats[0]
+            feats.append(lyr(P, inp, f'{prefix}layers.{i}.', training))
+        return jnp.concatenate(feats, axis=1)
+
+
+class DenseNetF(_Target):
+    def __init__(self, num_classes=1000, growth=32):
+        super().__init__()
+        self.num_classes = num_classes
+        self.expected_input_sz = 224
+        self.predicted: Dict[str, jnp.ndarray] = {}
+        c = 64
+        feats = [Conv2d(3, c, 7, stride=2, padding=3, bias=False),
+                 BatchNorm2d(c), ReLU(), MaxPool2d(3, stride=2, padding=1)]
+        for i, n in enumerate((6, 12, 24, 16)):
+            feats.append(_DenseBlock(c, n, growth))
+            c += n * growth
+            if i < 3:
+                feats.append(Sequential(BatchNorm2d(c), ReLU(),
+                                        Conv2d(c, c // 2, 1, bias=False),
+                                        AvgPool2d(2, stride=2)))
+                c //= 2
+        feats.append(BatchNorm2d(c))
+        self.features = Sequential(*feats)
+        self.classifier = Linear(c, num_classes)
+
+    def __call__(self, P, x, prefix='', training=False):
+        x = jax.nn.relu(self.features(P, x, prefix + 'features.', training))
+        return self.classifier(P, x.mean(axis=(2, 3)), prefix + 'classifier.', training)
+
+
+class _SEBlock(FModule):
+    """Squeeze-excite with conv 1x1 fcs (efficientnet/regnet style)."""
+
+    def __init__(self, cin, squeeze, act='silu', pooled=False):
+        super().__init__()
+        self.fc1 = Conv2d(cin, squeeze, 1)
+        self.fc2 = Conv2d(squeeze, cin, 1)
+        self.act = act
+        self.pooled = pooled
+        if pooled:
+            self.avgpool = AdaptiveAvgPool2d(1)
+
+    def __call__(self, P, x, prefix='', training=False):
+        s = x.mean(axis=(2, 3), keepdims=True)
+        s = self.fc1(P, s, prefix + 'fc1.', training)
+        s = jax.nn.silu(s) if self.act == 'silu' else jax.nn.relu(s)
+        s = self.fc2(P, s, prefix + 'fc2.', training)
+        return x * jax.nn.sigmoid(s)
+
+
+class _MBConv(FModule):
+    """EfficientNet MBConv: flat 'block' Sequential (matches torch_zoo)."""
+
+    def __init__(self, cin, cout, stride, expand, k=3):
+        super().__init__()
+        hidden = cin * expand
+        self.use_res = stride == 1 and cin == cout
+        mods = []
+        if expand != 1:
+            mods += [Conv2d(cin, hidden, 1, bias=False), BatchNorm2d(hidden), SiLU()]
+        mods += [Conv2d(hidden, hidden, k, stride=stride, padding=k // 2,
+                        groups=hidden, bias=False),
+                 BatchNorm2d(hidden), SiLU(),
+                 _SEBlock(hidden, max(1, hidden // (4 * expand) if expand != 1
+                                      else hidden // 4)),
+                 Conv2d(hidden, cout, 1, bias=False), BatchNorm2d(cout)]
+        self.block = Sequential(*mods)
+
+    def __call__(self, P, x, prefix='', training=False):
+        y = self.block(P, x, prefix + 'block.', training)
+        return x + y if self.use_res else y
+
+
+class EffNetB0F(_Target):
+    def __init__(self, num_classes=1000):
+        super().__init__()
+        self.num_classes = num_classes
+        self.expected_input_sz = 224
+        self.predicted: Dict[str, jnp.ndarray] = {}
+        cfg = [(1, 16, 1, 1, 3), (6, 24, 2, 2, 3), (6, 40, 2, 2, 5), (6, 80, 3, 2, 3),
+               (6, 112, 3, 1, 5), (6, 192, 4, 2, 5), (6, 320, 1, 1, 3)]
+        feats = [Conv2d(3, 32, 3, stride=2, padding=1, bias=False),
+                 BatchNorm2d(32), SiLU()]
+        cin = 32
+        for t, c, n, s, k in cfg:
+            for i in range(n):
+                feats.append(_MBConv(cin, c, s if i == 0 else 1, t, k))
+                cin = c
+        feats += [Conv2d(cin, 1280, 1, bias=False), BatchNorm2d(1280), SiLU()]
+        self.features = Sequential(*feats)
+        self.classifier = Linear(1280, num_classes)
+
+    def __call__(self, P, x, prefix='', training=False):
+        x = self.features(P, x, prefix + 'features.', training).mean(axis=(2, 3))
+        return self.classifier(P, x, prefix + 'classifier.', training)
+
+
+class _LayerNorm2d(LayerNorm):
+    def __call__(self, P, x, prefix='', training=False):
+        x = x.transpose(0, 2, 3, 1)
+        x = super().__call__(P, x, prefix, training)
+        return x.transpose(0, 3, 1, 2)
+
+
+class _ConvNeXtBlock(FModule):
+    def __init__(self, dim):
+        super().__init__()
+        self.dim = dim
+        self.dwconv = Conv2d(dim, dim, 7, padding=3, groups=dim)
+        self.norm = LayerNorm(dim)
+        self.pwconv1 = Linear(dim, 4 * dim)
+        self.pwconv2 = Linear(4 * dim, dim)
+        self.declare('layer_scale', (dim,), True)
+
+    def __call__(self, P, x, prefix='', training=False):
+        y = self.dwconv(P, x, prefix + 'dwconv.', training).transpose(0, 2, 3, 1)
+        y = self.norm(P, y, prefix + 'norm.', training)
+        y = self.pwconv1(P, y, prefix + 'pwconv1.', training)
+        y = self.pwconv2(P, jax.nn.gelu(y, approximate=False),
+                         prefix + 'pwconv2.', training)
+        # layer_scale is a bare parameter the GHN does not predict (reference
+        # leaves it at its 1e-6 init) — fall back to the init constant
+        scale = self.p(P, prefix, 'layer_scale')
+        if scale is None:
+            scale = 1e-6 * jnp.ones((self.dim,), x.dtype)
+        return x + (scale * y).transpose(0, 3, 1, 2)
+
+
+class ConvNeXtF(_Target):
+    def __init__(self, num_classes=1000, dims=(96, 192, 384, 768), depths=(2, 2, 4, 2)):
+        super().__init__()
+        self.num_classes = num_classes
+        self.expected_input_sz = 224
+        self.predicted: Dict[str, jnp.ndarray] = {}
+        stages = [Conv2d(3, dims[0], 4, stride=4), _LayerNorm2d(dims[0])]
+        for i, (d, n) in enumerate(zip(dims, depths)):
+            if i > 0:
+                stages += [_LayerNorm2d(dims[i - 1]),
+                           Conv2d(dims[i - 1], d, 2, stride=2)]
+            stages += [_ConvNeXtBlock(d) for _ in range(n)]
+        self.features = Sequential(*stages)
+        self.norm = LayerNorm(dims[-1])
+        self.head = Linear(dims[-1], num_classes)
+
+    def __call__(self, P, x, prefix='', training=False):
+        x = self.features(P, x, prefix + 'features.', training).mean(axis=(2, 3))
+        x = self.norm(P, x, prefix + 'norm.', training)
+        return self.head(P, x, prefix + 'head.', training)
+
+
+class _BasicConvBN(FModule):
+    """conv (bias-free) + bn, named conv/bn (inception/googlenet BasicConv)."""
+
+    def __init__(self, cin, cout, eps=1e-5, **kw):
+        super().__init__()
+        self.conv = Conv2d(cin, cout, bias=False, **kw)
+        self.bn = BatchNorm2d(cout, eps=eps)
+
+    def __call__(self, P, x, prefix='', training=False):
+        y = self.conv(P, x, prefix + 'conv.', training)
+        return jax.nn.relu(self.bn(P, y, prefix + 'bn.', training))
+
+
+class _IncMixed(FModule):
+    def __init__(self, cin, cout):
+        super().__init__()
+        b = cout // 4
+        self.branch1x1 = _BasicConvBN(cin, b, kernel_size=1)
+        self.branch5x5 = Sequential(_BasicConvBN(cin, b, kernel_size=1),
+                                    _BasicConvBN(b, b, kernel_size=5, padding=2))
+        self.branch3x3 = Sequential(_BasicConvBN(cin, b, kernel_size=1),
+                                    _BasicConvBN(b, b, kernel_size=3, padding=1))
+        self.branch_pool = _BasicConvBN(cin, cout - 3 * b, kernel_size=1)
+
+    def __call__(self, P, x, prefix='', training=False):
+        from ..nets.functional import _pool
+        pool = _pool(x, 'avg', 3, 1, 1)
+        return jnp.concatenate(
+            [self.branch1x1(P, x, prefix + 'branch1x1.', training),
+             self.branch5x5(P, x, prefix + 'branch5x5.', training),
+             self.branch3x3(P, x, prefix + 'branch3x3.', training),
+             self.branch_pool(P, pool, prefix + 'branch_pool.', training)], axis=1)
+
+
+class InceptionV3F(_Target):
+    def __init__(self, num_classes=1000, c=32):
+        super().__init__()
+        self.num_classes = num_classes
+        self.expected_input_sz = 299
+        self.predicted: Dict[str, jnp.ndarray] = {}
+        self.stem = Sequential(_BasicConvBN(3, c, kernel_size=3, stride=2),
+                               _BasicConvBN(c, 2 * c, kernel_size=3, stride=2, padding=1),
+                               MaxPool2d(3, stride=2))
+        self.mixed1 = _IncMixed(2 * c, 4 * c)
+        self.mixed2 = _IncMixed(4 * c, 8 * c)
+        aux = FModule()
+        aux.add('conv', _BasicConvBN(8 * c, 4 * c, kernel_size=1))
+        aux.add('fc', Linear(4 * c, num_classes))
+        self.AuxLogits = aux
+        self.mixed3 = _IncMixed(8 * c, 8 * c)
+        self.fc = Linear(8 * c, num_classes)
+
+    def __call__(self, P, x, prefix='', training=False):
+        x = self.stem(P, x, prefix + 'stem.', training)
+        x = self.mixed2(P, self.mixed1(P, x, prefix + 'mixed1.', training),
+                        prefix + 'mixed2.', training)
+        aux = None
+        if training:
+            a = self.AuxLogits._children['conv'](P, x, prefix + 'AuxLogits.conv.',
+                                                 training)
+            a = a.mean(axis=(2, 3))
+            aux = self.AuxLogits._children['fc'](P, a, prefix + 'AuxLogits.fc.',
+                                                 training)
+        x = self.mixed3(P, x, prefix + 'mixed3.', training)
+        logits = self.fc(P, x.mean(axis=(2, 3)), prefix + 'fc.', training)
+        return (logits, aux) if training else logits
+
+
+class _GoogAux(FModule):
+    def __init__(self, cin, c128, c1024, num_classes):
+        super().__init__()
+        self.conv = _BasicConvBN(cin, c128, eps=0.001, kernel_size=1)
+        self.fc1 = Linear(c128 * 16, c1024)
+        self.fc2 = Linear(c1024, num_classes)
+
+    def __call__(self, P, x, prefix='', training=False):
+        x = adaptive_avg_pool2d(x, (4, 4))
+        x = self.conv(P, x, prefix + 'conv.', training).reshape(x.shape[0], -1)
+        x = jax.nn.relu(self.fc1(P, x, prefix + 'fc1.', training))
+        return self.fc2(P, x, prefix + 'fc2.', training)
+
+
+class _GoogInception(FModule):
+    def __init__(self, cin, ch1, ch3r, ch3, ch5r, ch5, proj):
+        super().__init__()
+        bc = lambda ci, co, **kw: _BasicConvBN(ci, co, eps=0.001, **kw)
+        self.branch1 = bc(cin, ch1, kernel_size=1)
+        self.branch2 = Sequential(bc(cin, ch3r, kernel_size=1),
+                                  bc(ch3r, ch3, kernel_size=3, padding=1))
+        self.branch3 = Sequential(bc(cin, ch5r, kernel_size=1),
+                                  bc(ch5r, ch5, kernel_size=3, padding=1))
+        self.branch4 = Sequential(MaxPool2d(3, stride=1, padding=1, ceil_mode=True),
+                                  bc(cin, proj, kernel_size=1))
+
+    def __call__(self, P, x, prefix='', training=False):
+        return jnp.concatenate(
+            [self.branch1(P, x, prefix + 'branch1.', training),
+             self.branch2(P, x, prefix + 'branch2.', training),
+             self.branch3(P, x, prefix + 'branch3.', training),
+             self.branch4(P, x, prefix + 'branch4.', training)], axis=1)
+
+
+class GoogLeNetF(_Target):
+    def __init__(self, num_classes=1000, w=1.0):
+        super().__init__()
+        c = lambda v: max(2, int(v * w))
+        self.num_classes = num_classes
+        self.expected_input_sz = 224
+        self.predicted: Dict[str, jnp.ndarray] = {}
+        bc = lambda ci, co, **kw: _BasicConvBN(ci, co, eps=0.001, **kw)
+        self.conv1 = bc(3, c(64), kernel_size=7, stride=2, padding=3)
+        self.maxpool1 = MaxPool2d(3, stride=2, ceil_mode=True)
+        self.conv2 = bc(c(64), c(64), kernel_size=1)
+        self.conv3 = bc(c(64), c(192), kernel_size=3, padding=1)
+        self.maxpool2 = MaxPool2d(3, stride=2, ceil_mode=True)
+        self.inception3a = _GoogInception(c(192), c(64), c(96), c(128), c(16), c(32), c(32))
+        self.inception3b = _GoogInception(c(64) + c(128) + c(32) + c(32),
+                                          c(128), c(128), c(192), c(32), c(96), c(64))
+        self.maxpool3 = MaxPool2d(3, stride=2, ceil_mode=True)
+        c3b = c(128) + c(192) + c(96) + c(64)
+        self.inception4a = _GoogInception(c3b, c(192), c(96), c(208), c(16), c(48), c(64))
+        c4a = c(192) + c(208) + c(48) + c(64)
+        self.inception4d = _GoogInception(c4a, c(112), c(144), c(288), c(32), c(64), c(64))
+        c4d = c(112) + c(288) + c(64) + c(64)
+        self.maxpool4 = MaxPool2d(2, stride=2, ceil_mode=True)
+        self.inception5a = _GoogInception(c4d, c(256), c(160), c(320), c(32), c(128), c(128))
+        c5a = c(256) + c(320) + c(128) + c(128)
+        self.aux1 = _GoogAux(c4a, c(128), c(1024), num_classes)
+        self.aux2 = _GoogAux(c4d, c(128), c(1024), num_classes)
+        self.fc = Linear(c5a, num_classes)
+
+    def __call__(self, P, x, prefix='', training=False):
+        x = self.conv1(P, x, prefix + 'conv1.', training)
+        x = self.maxpool1(P, x)
+        x = self.conv3(P, self.conv2(P, x, prefix + 'conv2.', training),
+                       prefix + 'conv3.', training)
+        x = self.maxpool2(P, x)
+        x = self.inception3b(P, self.inception3a(P, x, prefix + 'inception3a.', training),
+                             prefix + 'inception3b.', training)
+        x = self.maxpool3(P, x)
+        x = self.inception4a(P, x, prefix + 'inception4a.', training)
+        aux1 = self.aux1(P, x, prefix + 'aux1.', training) if training else None
+        x = self.inception4d(P, x, prefix + 'inception4d.', training)
+        aux2 = self.aux2(P, x, prefix + 'aux2.', training) if training else None
+        x = self.inception5a(P, self.maxpool4(P, x), prefix + 'inception5a.', training)
+        logits = self.fc(P, x.mean(axis=(2, 3)), prefix + 'fc.', training)
+        return (logits, aux2, aux1) if training else logits
+
+
+class _MNASInverted(FModule):
+    def __init__(self, cin, cout, ks, stride, expansion):
+        super().__init__()
+        mid = cin * expansion
+        self.apply_residual = cin == cout and stride == 1
+        self.layers = Sequential(
+            Conv2d(cin, mid, 1, bias=False), BatchNorm2d(mid), ReLU(),
+            Conv2d(mid, mid, ks, padding=ks // 2, stride=stride, groups=mid, bias=False),
+            BatchNorm2d(mid), ReLU(),
+            Conv2d(mid, cout, 1, bias=False), BatchNorm2d(cout))
+
+    def __call__(self, P, x, prefix='', training=False):
+        y = self.layers(P, x, prefix + 'layers.', training)
+        return y + x if self.apply_residual else y
+
+
+class MNASNetF(_Target):
+    def __init__(self, num_classes=1000, w=1.0):
+        super().__init__()
+        c = lambda v: max(2, int(v * w))
+        self.num_classes = num_classes
+        self.expected_input_sz = 224
+        self.predicted: Dict[str, jnp.ndarray] = {}
+
+        def stack(cin, cout, ks, stride, expansion, n):
+            blocks = [_MNASInverted(cin, cout, ks, stride, expansion)]
+            blocks += [_MNASInverted(cout, cout, ks, 1, expansion) for _ in range(n - 1)]
+            return Sequential(*blocks)
+
+        d = [c(32), c(16), c(24), c(40), c(80), c(96), c(192), c(320)]
+        self.layers = Sequential(
+            Conv2d(3, d[0], 3, padding=1, stride=2, bias=False),
+            BatchNorm2d(d[0]), ReLU(),
+            Conv2d(d[0], d[0], 3, padding=1, groups=d[0], bias=False),
+            BatchNorm2d(d[0]), ReLU(),
+            Conv2d(d[0], d[1], 1, bias=False), BatchNorm2d(d[1]),
+            stack(d[1], d[2], 3, 2, 3, 3),
+            stack(d[2], d[3], 5, 2, 3, 3),
+            stack(d[3], d[4], 5, 2, 6, 3),
+            stack(d[4], d[5], 3, 1, 6, 2),
+            stack(d[5], d[6], 5, 2, 6, 4),
+            stack(d[6], d[7], 3, 1, 6, 1),
+            Conv2d(d[7], c(1280), 1, bias=False), BatchNorm2d(c(1280)), ReLU())
+        self.classifier = Sequential(Dropout(0.2), Linear(c(1280), num_classes))
+
+    def __call__(self, P, x, prefix='', training=False):
+        x = self.layers(P, x, prefix + 'layers.', training).mean(axis=(2, 3))
+        return self.classifier(P, x, prefix + 'classifier.', training)
+
+
+class _ShuffleUnit(FModule):
+    def __init__(self, cin, cout, stride):
+        super().__init__()
+        self.stride = stride
+        branch = cout // 2
+        if stride > 1:
+            self.branch1 = Sequential(
+                Conv2d(cin, cin, 3, stride=stride, padding=1, groups=cin, bias=False),
+                BatchNorm2d(cin),
+                Conv2d(cin, branch, 1, bias=False), BatchNorm2d(branch), ReLU())
+        cin2 = cin if stride > 1 else branch
+        self.branch2 = Sequential(
+            Conv2d(cin2, branch, 1, bias=False), BatchNorm2d(branch), ReLU(),
+            Conv2d(branch, branch, 3, stride=stride, padding=1, groups=branch, bias=False),
+            BatchNorm2d(branch),
+            Conv2d(branch, branch, 1, bias=False), BatchNorm2d(branch), ReLU())
+
+    def __call__(self, P, x, prefix='', training=False):
+        if self.stride == 1:
+            half = x.shape[1] // 2
+            x1, x2 = x[:, :half], x[:, half:]
+            out = jnp.concatenate(
+                [x1, self.branch2(P, x2, prefix + 'branch2.', training)], axis=1)
+        else:
+            out = jnp.concatenate(
+                [self.branch1(P, x, prefix + 'branch1.', training),
+                 self.branch2(P, x, prefix + 'branch2.', training)], axis=1)
+        b, ch, h, w = out.shape
+        out = out.reshape(b, 2, ch // 2, h, w).transpose(0, 2, 1, 3, 4)
+        return out.reshape(b, ch, h, w)
+
+
+class ShuffleNetV2F(_Target):
+    def __init__(self, num_classes=1000, w=1.0):
+        super().__init__()
+        c = lambda v: max(4, int(v * w) // 2 * 2)
+        self.num_classes = num_classes
+        self.expected_input_sz = 224
+        self.predicted: Dict[str, jnp.ndarray] = {}
+        stages_out = [c(24), c(116), c(232), c(464), c(1024)]
+        self.conv1 = Sequential(Conv2d(3, stages_out[0], 3, stride=2, padding=1, bias=False),
+                                BatchNorm2d(stages_out[0]), ReLU())
+        self.maxpool = MaxPool2d(3, stride=2, padding=1)
+        cin = stages_out[0]
+        for i, (cout, repeats) in enumerate(zip(stages_out[1:4], (4, 8, 4))):
+            seq = [_ShuffleUnit(cin, cout, 2)]
+            seq += [_ShuffleUnit(cout, cout, 1) for _ in range(repeats - 1)]
+            setattr(self, f'stage{i + 2}', Sequential(*seq))
+            cin = cout
+        self.conv5 = Sequential(Conv2d(cin, stages_out[4], 1, bias=False),
+                                BatchNorm2d(stages_out[4]), ReLU())
+        self.fc = Linear(stages_out[4], num_classes)
+
+    def __call__(self, P, x, prefix='', training=False):
+        x = self.maxpool(P, self.conv1(P, x, prefix + 'conv1.', training))
+        for i in (2, 3, 4):
+            x = getattr(self, f'stage{i}')(P, x, f'{prefix}stage{i}.', training)
+        x = self.conv5(P, x, prefix + 'conv5.', training)
+        return self.fc(P, x.mean(axis=(2, 3)), prefix + 'fc.', training)
+
+
+class _RegBlock(FModule):
+    def __init__(self, cin, cout, stride, group_width, se_ratio=0.25):
+        super().__init__()
+        self.proj = None
+        if cin != cout or stride != 1:
+            self.proj = Sequential(Conv2d(cin, cout, 1, stride=stride, bias=False),
+                                   BatchNorm2d(cout))
+            self.add('proj', self.proj)
+        f = FModule()
+        groups = max(1, cout // group_width)
+        f.add('a', Sequential(Conv2d(cin, cout, 1, bias=False), BatchNorm2d(cout), ReLU()))
+        f.add('b', Sequential(Conv2d(cout, cout, 3, stride=stride, padding=1,
+                                     groups=groups, bias=False),
+                              BatchNorm2d(cout), ReLU()))
+        f.add('se', _SEBlock(cout, max(1, int(cin * se_ratio)), act='relu', pooled=True))
+        f.add('c', Sequential(Conv2d(cout, cout, 1, bias=False), BatchNorm2d(cout)))
+        self.add('f', f)
+        self.f = f
+
+    def __call__(self, P, x, prefix='', training=False):
+        idt = x if self.proj is None else self.proj(P, x, prefix + 'proj.', training)
+        y = self.f._children['a'](P, x, prefix + 'f.a.', training)
+        y = self.f._children['b'](P, y, prefix + 'f.b.', training)
+        y = self.f._children['se'](P, y, prefix + 'f.se.', training)
+        y = self.f._children['c'](P, y, prefix + 'f.c.', training)
+        return jax.nn.relu(idt + y)
+
+
+class RegNetF(_Target):
+    def __init__(self, num_classes=1000, w=1.0):
+        super().__init__()
+        c = lambda v: max(8, int(v * w) // 8 * 8)
+        self.num_classes = num_classes
+        self.expected_input_sz = 224
+        self.predicted: Dict[str, jnp.ndarray] = {}
+        self.stem = Sequential(Conv2d(3, c(32), 3, stride=2, padding=1, bias=False),
+                               BatchNorm2d(c(32)), ReLU())
+        widths, depths, gw = [c(48), c(104), c(208), c(440)], [1, 3, 6, 6], c(8)
+        stages = []
+        cin = c(32)
+        for wd, dep in zip(widths, depths):
+            blocks = [_RegBlock(cin if j == 0 else wd, wd, 2 if j == 0 else 1, gw)
+                      for j in range(dep)]
+            stages.append(Sequential(*blocks))
+            cin = wd
+        self.trunk_output = Sequential(*stages)
+        self.fc = Linear(cin, num_classes)
+
+    def __call__(self, P, x, prefix='', training=False):
+        x = self.trunk_output(P, self.stem(P, x, prefix + 'stem.', training),
+                              prefix + 'trunk_output.', training)
+        return self.fc(P, x.mean(axis=(2, 3)), prefix + 'fc.', training)
+
+
+class _FusedMBConv(FModule):
+    def __init__(self, cin, cout, stride, expand):
+        super().__init__()
+        mid = cin * expand
+        self.use_res = stride == 1 and cin == cout
+        if expand != 1:
+            mods = [Conv2d(cin, mid, 3, stride=stride, padding=1, bias=False),
+                    BatchNorm2d(mid), SiLU(),
+                    Conv2d(mid, cout, 1, bias=False), BatchNorm2d(cout)]
+        else:
+            mods = [Conv2d(cin, cout, 3, stride=stride, padding=1, bias=False),
+                    BatchNorm2d(cout), SiLU()]
+        self.block = Sequential(*mods)
+
+    def __call__(self, P, x, prefix='', training=False):
+        y = self.block(P, x, prefix + 'block.', training)
+        return x + y if self.use_res else y
+
+
+class _MBConvV2(FModule):
+    def __init__(self, cin, cout, stride, expand):
+        super().__init__()
+        mid = cin * expand
+        self.use_res = stride == 1 and cin == cout
+        self.block = Sequential(
+            Conv2d(cin, mid, 1, bias=False), BatchNorm2d(mid), SiLU(),
+            Conv2d(mid, mid, 3, stride=stride, padding=1, groups=mid, bias=False),
+            BatchNorm2d(mid), SiLU(),
+            _SEBlock(mid, max(1, cin // 4)),
+            Conv2d(mid, cout, 1, bias=False), BatchNorm2d(cout))
+
+    def __call__(self, P, x, prefix='', training=False):
+        y = self.block(P, x, prefix + 'block.', training)
+        return x + y if self.use_res else y
+
+
+class EffNetV2F(_Target):
+    def __init__(self, num_classes=1000, w=1.0):
+        super().__init__()
+        c = lambda v: max(4, int(v * w) // 4 * 4)
+        self.num_classes = num_classes
+        self.expected_input_sz = 224
+        self.predicted: Dict[str, jnp.ndarray] = {}
+        cfgs = [(_FusedMBConv, c(24), 1, 1, 2), (_FusedMBConv, c(48), 2, 4, 2),
+                (_FusedMBConv, c(64), 2, 4, 2), (_MBConvV2, c(128), 2, 4, 2),
+                (_MBConvV2, c(160), 1, 6, 2), (_MBConvV2, c(256), 2, 6, 2)]
+        stages = [Sequential(Conv2d(3, c(24), 3, stride=2, padding=1, bias=False),
+                             BatchNorm2d(c(24)), SiLU())]
+        cin = c(24)
+        for blk, cout, stride, expand, rep in cfgs:
+            blocks = [blk(cin if j == 0 else cout, cout, stride if j == 0 else 1, expand)
+                      for j in range(rep)]
+            stages.append(Sequential(*blocks))
+            cin = cout
+        stages.append(Sequential(Conv2d(cin, c(1280), 1, bias=False),
+                                 BatchNorm2d(c(1280)), SiLU()))
+        self.features = Sequential(*stages)
+        self.classifier = Sequential(Dropout(0.2), Linear(c(1280), num_classes))
+
+    def __call__(self, P, x, prefix='', training=False):
+        x = self.features(P, x, prefix + 'features.', training).mean(axis=(2, 3))
+        return self.classifier(P, x, prefix + 'classifier.', training)
+
+
 JAX_ZOO = {
     'resnet18': lambda num_classes=1000: ResNetF('basic', (2, 2, 2, 2), num_classes=num_classes),
     'resnet34': lambda num_classes=1000: ResNetF('basic', (3, 4, 6, 3), num_classes=num_classes),
@@ -211,4 +936,18 @@ JAX_ZOO = {
     'wide_resnet50_2': lambda num_classes=1000: ResNetF('bottleneck', (3, 4, 6, 3), width=128,
                                                         num_classes=num_classes),
     'vit_b_16': lambda num_classes=1000: ViTF(num_classes=num_classes),
+    'alexnet': alexnet_f,
+    'vgg11': vgg11_f,
+    'vgg16_bn': vgg16_bn_f,
+    'mobilenet_v2': MobileNetV2F,
+    'squeezenet1_1': SqueezeNetF,
+    'densenet121': DenseNetF,
+    'efficientnet_b0ish': EffNetB0F,
+    'convnext_tiny_ish': ConvNeXtF,
+    'inception_v3ish': InceptionV3F,
+    'googlenet': GoogLeNetF,
+    'mnasnet1_0': MNASNetF,
+    'shufflenet_v2_x1_0': ShuffleNetV2F,
+    'regnet_y_400mf': RegNetF,
+    'efficientnet_v2_s_ish': EffNetV2F,
 }

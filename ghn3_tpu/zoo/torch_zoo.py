@@ -556,6 +556,439 @@ def inception_v3ish(num_classes=1000, c=32):
     return Inception3()
 
 
+def alexnet(num_classes=1000, w=1.0):
+    """AlexNet (Krizhevsky 2012), torchvision layout: features/avgpool/classifier,
+    no normalization layers (exercises norm-free conv stacks in the sweep,
+    reference eval_ghn.py --split torch)."""
+    torch, nn, F = _torch()
+    c = lambda v: max(1, int(v * w))
+
+    class AlexNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = nn.Sequential(
+                nn.Conv2d(3, c(64), 11, stride=4, padding=2), nn.ReLU(inplace=True),
+                nn.MaxPool2d(3, stride=2),
+                nn.Conv2d(c(64), c(192), 5, padding=2), nn.ReLU(inplace=True),
+                nn.MaxPool2d(3, stride=2),
+                nn.Conv2d(c(192), c(384), 3, padding=1), nn.ReLU(inplace=True),
+                nn.Conv2d(c(384), c(256), 3, padding=1), nn.ReLU(inplace=True),
+                nn.Conv2d(c(256), c(256), 3, padding=1), nn.ReLU(inplace=True),
+                nn.MaxPool2d(3, stride=2))
+            self.avgpool = nn.AdaptiveAvgPool2d((6, 6))
+            self.classifier = nn.Sequential(
+                nn.Dropout(), nn.Linear(c(256) * 36, c(4096)), nn.ReLU(inplace=True),
+                nn.Dropout(), nn.Linear(c(4096), c(4096)), nn.ReLU(inplace=True),
+                nn.Linear(c(4096), num_classes))
+            self.expected_input_sz = 224
+
+        def forward(self, x):
+            x = self.avgpool(self.features(x))
+            return self.classifier(torch.flatten(x, 1))
+
+    return AlexNet()
+
+
+def vgg11(num_classes=1000, w=1.0):
+    """VGG-11 WITHOUT batch norm (torchvision vgg11): conv/relu/maxpool features,
+    3-layer classifier — the norm-free VGG variant of the sweep."""
+    torch, nn, F = _torch()
+    c = lambda v: max(1, int(v * w))
+
+    class VGG(nn.Module):
+        def __init__(self):
+            super().__init__()
+            layers, cin = [], 3
+            for v in (64, 'M', 128, 'M', 256, 256, 'M', 512, 512, 'M', 512, 512, 'M'):
+                if v == 'M':
+                    layers.append(nn.MaxPool2d(2, stride=2))
+                else:
+                    layers += [nn.Conv2d(cin, c(v), 3, padding=1), nn.ReLU(inplace=True)]
+                    cin = c(v)
+            self.features = nn.Sequential(*layers)
+            self.avgpool = nn.AdaptiveAvgPool2d((7, 7))
+            self.classifier = nn.Sequential(
+                nn.Linear(c(512) * 49, c(4096)), nn.ReLU(inplace=True), nn.Dropout(),
+                nn.Linear(c(4096), c(4096)), nn.ReLU(inplace=True), nn.Dropout(),
+                nn.Linear(c(4096), num_classes))
+            self.expected_input_sz = 224
+
+        def forward(self, x):
+            x = self.avgpool(self.features(x))
+            return self.classifier(torch.flatten(x, 1))
+
+    return VGG()
+
+
+def googlenet(num_classes=1000, w=1.0):
+    """GoogLeNet (Szegedy 2014), torchvision layout with BOTH auxiliary heads
+    active in training mode (reference eval_ghn.py:137 passes init_weights=False;
+    aux-head parameters are part of the predicted set)."""
+    torch, nn, F = _torch()
+    c = lambda v: max(2, int(v * w))
+
+    class BasicConv2d(nn.Module):
+        def __init__(self, cin, cout, **kw):
+            super().__init__()
+            self.conv = nn.Conv2d(cin, cout, bias=False, **kw)
+            self.bn = nn.BatchNorm2d(cout, eps=0.001)
+
+        def forward(self, x):
+            return F.relu(self.bn(self.conv(x)), inplace=True)
+
+    class Inception(nn.Module):
+        def __init__(self, cin, ch1, ch3r, ch3, ch5r, ch5, proj):
+            super().__init__()
+            self.branch1 = BasicConv2d(cin, ch1, kernel_size=1)
+            self.branch2 = nn.Sequential(BasicConv2d(cin, ch3r, kernel_size=1),
+                                         BasicConv2d(ch3r, ch3, kernel_size=3, padding=1))
+            self.branch3 = nn.Sequential(BasicConv2d(cin, ch5r, kernel_size=1),
+                                         BasicConv2d(ch5r, ch5, kernel_size=3, padding=1))
+            self.branch4 = nn.Sequential(nn.MaxPool2d(3, stride=1, padding=1, ceil_mode=True),
+                                         BasicConv2d(cin, proj, kernel_size=1))
+
+        def forward(self, x):
+            return torch.cat([self.branch1(x), self.branch2(x),
+                              self.branch3(x), self.branch4(x)], 1)
+
+    class InceptionAux(nn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.conv = BasicConv2d(cin, c(128), kernel_size=1)
+            self.fc1 = nn.Linear(c(128) * 16, c(1024))
+            self.fc2 = nn.Linear(c(1024), num_classes)
+
+        def forward(self, x):
+            x = F.adaptive_avg_pool2d(x, (4, 4))
+            x = torch.flatten(self.conv(x), 1)
+            x = F.relu(self.fc1(x), inplace=True)
+            return self.fc2(F.dropout(x, 0.7, training=self.training))
+
+    class GoogLeNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = BasicConv2d(3, c(64), kernel_size=7, stride=2, padding=3)
+            self.maxpool1 = nn.MaxPool2d(3, stride=2, ceil_mode=True)
+            self.conv2 = BasicConv2d(c(64), c(64), kernel_size=1)
+            self.conv3 = BasicConv2d(c(64), c(192), kernel_size=3, padding=1)
+            self.maxpool2 = nn.MaxPool2d(3, stride=2, ceil_mode=True)
+            self.inception3a = Inception(c(192), c(64), c(96), c(128), c(16), c(32), c(32))
+            self.inception3b = Inception(c(64) + c(128) + c(32) + c(32),
+                                         c(128), c(128), c(192), c(32), c(96), c(64))
+            self.maxpool3 = nn.MaxPool2d(3, stride=2, ceil_mode=True)
+            c3b = c(128) + c(192) + c(96) + c(64)
+            self.inception4a = Inception(c3b, c(192), c(96), c(208), c(16), c(48), c(64))
+            c4a = c(192) + c(208) + c(48) + c(64)
+            self.inception4d = Inception(c4a, c(112), c(144), c(288), c(32), c(64), c(64))
+            c4d = c(112) + c(288) + c(64) + c(64)
+            self.maxpool4 = nn.MaxPool2d(2, stride=2, ceil_mode=True)
+            self.inception5a = Inception(c4d, c(256), c(160), c(320), c(32), c(128), c(128))
+            c5a = c(256) + c(320) + c(128) + c(128)
+            self.aux1 = InceptionAux(c4a)
+            self.aux2 = InceptionAux(c4d)
+            self.avgpool = nn.AdaptiveAvgPool2d((1, 1))
+            self.dropout = nn.Dropout(0.2)
+            self.fc = nn.Linear(c5a, num_classes)
+            self.expected_input_sz = 224
+
+        def forward(self, x):
+            x = self.maxpool2(self.conv3(self.conv2(self.maxpool1(self.conv1(x)))))
+            x = self.maxpool3(self.inception3b(self.inception3a(x)))
+            x = self.inception4a(x)
+            aux1 = self.aux1(x) if self.training else None
+            x = self.inception4d(x)
+            aux2 = self.aux2(x) if self.training else None
+            x = self.inception5a(self.maxpool4(x))
+            x = self.dropout(torch.flatten(self.avgpool(x), 1))
+            logits = self.fc(x)
+            return (logits, aux2, aux1) if self.training else logits
+
+    return GoogLeNet()
+
+
+def mnasnet1_0(num_classes=1000, w=1.0):
+    """MNASNet (Tan 2018), torchvision layout: one flat `layers` Sequential of
+    stem + inverted-residual stacks, then `classifier`."""
+    torch, nn, F = _torch()
+    c = lambda v: max(2, int(v * w))
+
+    class InvertedResidual(nn.Module):
+        def __init__(self, cin, cout, ks, stride, expansion):
+            super().__init__()
+            mid = cin * expansion
+            self.apply_residual = cin == cout and stride == 1
+            self.layers = nn.Sequential(
+                nn.Conv2d(cin, mid, 1, bias=False), nn.BatchNorm2d(mid), nn.ReLU(inplace=True),
+                nn.Conv2d(mid, mid, ks, padding=ks // 2, stride=stride, groups=mid, bias=False),
+                nn.BatchNorm2d(mid), nn.ReLU(inplace=True),
+                nn.Conv2d(mid, cout, 1, bias=False), nn.BatchNorm2d(cout))
+
+        def forward(self, x):
+            y = self.layers(x)
+            return y + x if self.apply_residual else y
+
+    def stack(cin, cout, ks, stride, expansion, n):
+        blocks = [InvertedResidual(cin, cout, ks, stride, expansion)]
+        blocks += [InvertedResidual(cout, cout, ks, 1, expansion) for _ in range(n - 1)]
+        return nn.Sequential(*blocks)
+
+    class MNASNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            d = [c(32), c(16), c(24), c(40), c(80), c(96), c(192), c(320)]
+            self.layers = nn.Sequential(
+                nn.Conv2d(3, d[0], 3, padding=1, stride=2, bias=False),
+                nn.BatchNorm2d(d[0]), nn.ReLU(inplace=True),
+                nn.Conv2d(d[0], d[0], 3, padding=1, groups=d[0], bias=False),
+                nn.BatchNorm2d(d[0]), nn.ReLU(inplace=True),
+                nn.Conv2d(d[0], d[1], 1, bias=False), nn.BatchNorm2d(d[1]),
+                stack(d[1], d[2], 3, 2, 3, 3),
+                stack(d[2], d[3], 5, 2, 3, 3),
+                stack(d[3], d[4], 5, 2, 6, 3),
+                stack(d[4], d[5], 3, 1, 6, 2),
+                stack(d[5], d[6], 5, 2, 6, 4),
+                stack(d[6], d[7], 3, 1, 6, 1),
+                nn.Conv2d(d[7], c(1280), 1, bias=False),
+                nn.BatchNorm2d(c(1280)), nn.ReLU(inplace=True))
+            self.classifier = nn.Sequential(nn.Dropout(0.2), nn.Linear(c(1280), num_classes))
+            self.expected_input_sz = 224
+
+        def forward(self, x):
+            x = self.layers(x).mean([2, 3])
+            return self.classifier(x)
+
+    return MNASNet()
+
+
+def shufflenet_v2_x1_0(num_classes=1000, w=1.0):
+    """ShuffleNetV2 (Ma 2018), torchvision layout: channel split (chunk) +
+    transpose-based channel shuffle — exercises slice/permute autograd nodes in
+    the tracer that no other family hits."""
+    torch, nn, F = _torch()
+    c = lambda v: max(4, int(v * w) // 2 * 2)
+
+    def channel_shuffle(x, groups):
+        b, ch, h, wd = x.size()
+        x = x.view(b, groups, ch // groups, h, wd)
+        x = torch.transpose(x, 1, 2).contiguous()
+        return x.view(b, ch, h, wd)
+
+    class InvertedResidual(nn.Module):
+        def __init__(self, cin, cout, stride):
+            super().__init__()
+            self.stride = stride
+            branch = cout // 2
+            if stride > 1:
+                self.branch1 = nn.Sequential(
+                    nn.Conv2d(cin, cin, 3, stride=stride, padding=1, groups=cin, bias=False),
+                    nn.BatchNorm2d(cin),
+                    nn.Conv2d(cin, branch, 1, bias=False),
+                    nn.BatchNorm2d(branch), nn.ReLU(inplace=True))
+            cin2 = cin if stride > 1 else branch
+            self.branch2 = nn.Sequential(
+                nn.Conv2d(cin2, branch, 1, bias=False),
+                nn.BatchNorm2d(branch), nn.ReLU(inplace=True),
+                nn.Conv2d(branch, branch, 3, stride=stride, padding=1, groups=branch, bias=False),
+                nn.BatchNorm2d(branch),
+                nn.Conv2d(branch, branch, 1, bias=False),
+                nn.BatchNorm2d(branch), nn.ReLU(inplace=True))
+
+        def forward(self, x):
+            if self.stride == 1:
+                x1, x2 = x.chunk(2, dim=1)
+                out = torch.cat((x1, self.branch2(x2)), dim=1)
+            else:
+                out = torch.cat((self.branch1(x), self.branch2(x)), dim=1)
+            return channel_shuffle(out, 2)
+
+    class ShuffleNetV2(nn.Module):
+        def __init__(self):
+            super().__init__()
+            stages_out = [c(24), c(116), c(232), c(464), c(1024)]
+            self.conv1 = nn.Sequential(nn.Conv2d(3, stages_out[0], 3, 2, 1, bias=False),
+                                       nn.BatchNorm2d(stages_out[0]), nn.ReLU(inplace=True))
+            self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+            cin = stages_out[0]
+            for i, (cout, repeats) in enumerate(zip(stages_out[1:4], (4, 8, 4))):
+                seq = [InvertedResidual(cin, cout, 2)]
+                seq += [InvertedResidual(cout, cout, 1) for _ in range(repeats - 1)]
+                setattr(self, f'stage{i + 2}', nn.Sequential(*seq))
+                cin = cout
+            self.conv5 = nn.Sequential(nn.Conv2d(cin, stages_out[4], 1, bias=False),
+                                       nn.BatchNorm2d(stages_out[4]), nn.ReLU(inplace=True))
+            self.fc = nn.Linear(stages_out[4], num_classes)
+            self.expected_input_sz = 224
+
+        def forward(self, x):
+            x = self.maxpool(self.conv1(x))
+            x = self.conv5(self.stage4(self.stage3(self.stage2(x))))
+            return self.fc(x.mean([2, 3]))
+
+    return ShuffleNetV2()
+
+
+def regnet_y_400mf(num_classes=1000, w=1.0):
+    """RegNet-Y (Radosavovic 2020), torchvision layout: SimpleStemIN +
+    trunk_output of ResBottleneckBlocks with grouped 3x3 convs and
+    squeeze-excitation, relu after the residual add."""
+    torch, nn, F = _torch()
+    c = lambda v: max(8, int(v * w) // 8 * 8)
+
+    class SqueezeExcitation(nn.Module):
+        def __init__(self, cin, squeeze):
+            super().__init__()
+            self.avgpool = nn.AdaptiveAvgPool2d(1)
+            self.fc1 = nn.Conv2d(cin, squeeze, 1)
+            self.fc2 = nn.Conv2d(squeeze, cin, 1)
+
+        def forward(self, x):
+            s = self.fc2(F.relu(self.fc1(self.avgpool(x))))
+            return x * torch.sigmoid(s)
+
+    class BottleneckTransform(nn.Module):
+        def __init__(self, cin, cout, stride, group_width, se_ratio=0.25):
+            super().__init__()
+            groups = max(1, cout // group_width)
+            self.a = nn.Sequential(nn.Conv2d(cin, cout, 1, bias=False),
+                                   nn.BatchNorm2d(cout), nn.ReLU(inplace=True))
+            self.b = nn.Sequential(nn.Conv2d(cout, cout, 3, stride=stride, padding=1,
+                                             groups=groups, bias=False),
+                                   nn.BatchNorm2d(cout), nn.ReLU(inplace=True))
+            self.se = SqueezeExcitation(cout, max(1, int(cin * se_ratio)))
+            self.c = nn.Sequential(nn.Conv2d(cout, cout, 1, bias=False),
+                                   nn.BatchNorm2d(cout))
+
+        def forward(self, x):
+            return self.c(self.se(self.b(self.a(x))))
+
+    class ResBottleneckBlock(nn.Module):
+        def __init__(self, cin, cout, stride, group_width):
+            super().__init__()
+            self.proj = None
+            if cin != cout or stride != 1:
+                self.proj = nn.Sequential(nn.Conv2d(cin, cout, 1, stride=stride, bias=False),
+                                          nn.BatchNorm2d(cout))
+            self.f = BottleneckTransform(cin, cout, stride, group_width)
+
+        def forward(self, x):
+            idt = x if self.proj is None else self.proj(x)
+            return F.relu(idt + self.f(x))
+
+    class RegNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = nn.Sequential(nn.Conv2d(3, c(32), 3, stride=2, padding=1, bias=False),
+                                      nn.BatchNorm2d(c(32)), nn.ReLU(inplace=True))
+            widths, depths, gw = [c(48), c(104), c(208), c(440)], [1, 3, 6, 6], c(8)
+            stages = []
+            cin = c(32)
+            for wd, dep in zip(widths, depths):
+                blocks = []
+                for j in range(dep):
+                    blocks.append(ResBottleneckBlock(cin if j == 0 else wd, wd,
+                                                     2 if j == 0 else 1, gw))
+                stages.append(nn.Sequential(*blocks))
+                cin = wd
+            self.trunk_output = nn.Sequential(*stages)
+            self.avgpool = nn.AdaptiveAvgPool2d(1)
+            self.fc = nn.Linear(cin, num_classes)
+            self.expected_input_sz = 224
+
+        def forward(self, x):
+            x = self.avgpool(self.trunk_output(self.stem(x)))
+            import torch as _t
+            return self.fc(_t.flatten(x, 1))
+
+    return RegNet()
+
+
+def efficientnet_v2_s_ish(num_classes=1000, w=1.0):
+    """EfficientNetV2-style (Tan 2021): FusedMBConv stages (fused 3x3 expand)
+    followed by MBConv stages with squeeze-excitation — the structural novelty
+    vs efficientnet_b0ish is the fused block family."""
+    torch, nn, F = _torch()
+    c = lambda v: max(4, int(v * w) // 4 * 4)
+
+    class SE(nn.Module):
+        def __init__(self, cin, squeeze):
+            super().__init__()
+            self.avgpool = nn.AdaptiveAvgPool2d(1)
+            self.fc1 = nn.Conv2d(cin, squeeze, 1)
+            self.fc2 = nn.Conv2d(squeeze, cin, 1)
+
+        def forward(self, x):
+            s = self.fc2(F.silu(self.fc1(self.avgpool(x))))
+            return x * torch.sigmoid(s)
+
+    class FusedMBConv(nn.Module):
+        def __init__(self, cin, cout, stride, expand):
+            super().__init__()
+            mid = cin * expand
+            self.use_res = stride == 1 and cin == cout
+            block = [nn.Conv2d(cin, mid, 3, stride=stride, padding=1, bias=False),
+                     nn.BatchNorm2d(mid), nn.SiLU(inplace=True)]
+            if expand != 1:
+                block += [nn.Conv2d(mid, cout, 1, bias=False), nn.BatchNorm2d(cout)]
+            else:
+                block = [nn.Conv2d(cin, cout, 3, stride=stride, padding=1, bias=False),
+                         nn.BatchNorm2d(cout), nn.SiLU(inplace=True)]
+            self.block = nn.Sequential(*block)
+
+        def forward(self, x):
+            y = self.block(x)
+            return x + y if self.use_res else y
+
+    class MBConv(nn.Module):
+        def __init__(self, cin, cout, stride, expand):
+            super().__init__()
+            mid = cin * expand
+            self.use_res = stride == 1 and cin == cout
+            self.block = nn.Sequential(
+                nn.Conv2d(cin, mid, 1, bias=False), nn.BatchNorm2d(mid), nn.SiLU(inplace=True),
+                nn.Conv2d(mid, mid, 3, stride=stride, padding=1, groups=mid, bias=False),
+                nn.BatchNorm2d(mid), nn.SiLU(inplace=True),
+                SE(mid, max(1, cin // 4)),
+                nn.Conv2d(mid, cout, 1, bias=False), nn.BatchNorm2d(cout))
+
+        def forward(self, x):
+            y = self.block(x)
+            return x + y if self.use_res else y
+
+    class EffNetV2(nn.Module):
+        def __init__(self):
+            super().__init__()
+            cfgs = [  # (block, cout, stride, expand, repeats)
+                (FusedMBConv, c(24), 1, 1, 2),
+                (FusedMBConv, c(48), 2, 4, 2),
+                (FusedMBConv, c(64), 2, 4, 2),
+                (MBConv, c(128), 2, 4, 2),
+                (MBConv, c(160), 1, 6, 2),
+                (MBConv, c(256), 2, 6, 2),
+            ]
+            stages = [nn.Sequential(nn.Conv2d(3, c(24), 3, stride=2, padding=1, bias=False),
+                                    nn.BatchNorm2d(c(24)), nn.SiLU(inplace=True))]
+            cin = c(24)
+            for blk, cout, stride, expand, rep in cfgs:
+                blocks = []
+                for j in range(rep):
+                    blocks.append(blk(cin if j == 0 else cout, cout,
+                                      stride if j == 0 else 1, expand))
+                stages.append(nn.Sequential(*blocks))
+                cin = cout
+            stages.append(nn.Sequential(nn.Conv2d(cin, c(1280), 1, bias=False),
+                                        nn.BatchNorm2d(c(1280)), nn.SiLU(inplace=True)))
+            self.features = nn.Sequential(*stages)
+            self.avgpool = nn.AdaptiveAvgPool2d(1)
+            self.classifier = nn.Sequential(nn.Dropout(0.2), nn.Linear(c(1280), num_classes))
+            self.expected_input_sz = 224
+
+        def forward(self, x):
+            x = self.avgpool(self.features(x))
+            return self.classifier(torch.flatten(x, 1))
+
+    return EffNetV2()
+
+
 TORCH_ZOO = {
     'resnet18': resnet18,
     'resnet34': resnet34,
@@ -571,4 +1004,11 @@ TORCH_ZOO = {
     'efficientnet_b0ish': efficientnet_b0ish,
     'convnext_tiny_ish': convnext_tiny_ish,
     'inception_v3ish': inception_v3ish,
+    'alexnet': alexnet,
+    'vgg11': vgg11,
+    'googlenet': googlenet,
+    'mnasnet1_0': mnasnet1_0,
+    'shufflenet_v2_x1_0': shufflenet_v2_x1_0,
+    'regnet_y_400mf': regnet_y_400mf,
+    'efficientnet_v2_s_ish': efficientnet_v2_s_ish,
 }

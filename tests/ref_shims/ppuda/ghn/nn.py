@@ -36,6 +36,88 @@ class MLP(nn.Module):
         return self.fc(x)
 
 
+class GatedGNN(nn.Module):
+    """Reconstruction of ppuda's GatedGNN (GHN-2 propagation) from the GHN-2
+    paper (Knyazev et al. 2021, §3.2) and the reference call surface
+    (/root/reference/ghn3/nn.py:257-259: ``self.gnn(x, edges, node_graph_ind)``
+    with sparse (i, j, dist, graph_ind) edges and flat x).
+
+    Spec: one forward + one backward sequential sweep along the DAG per round;
+    node update h_v = GRU(m_v, h_v) where m_v averages MLP-transformed
+    predecessor states over 1-hop edges plus 1/d-scaled mlp_ve messages over
+    virtual edges; nodes at the same topological depth update together (no two
+    same-depth nodes share an edge, so this equals strict sequential order).
+
+    PROVENANCE CAVEAT: this is a shim reconstruction that shares its spec with
+    ghn3_tpu/models/gatedgnn.py. Parity tests against it validate the reference
+    GHN-2 *integration* (sparse batching, GHN-2 corner-crop tiling, decoder and
+    grouping paths in /root/reference/ghn3/nn.py), not this module's fidelity to
+    the real ppuda source, which is unavailable offline (see docs/PROVENANCE in
+    the repo docs).
+    """
+
+    def __init__(self, in_features=32, ve=False, T=1):
+        super().__init__()
+        self.ve = ve
+        self.T = T
+        self.mlp = MLP(in_features=in_features, hid=(in_features, in_features))
+        if ve:
+            self.mlp_ve = MLP(in_features=in_features, hid=(in_features, in_features))
+        self.gru = nn.GRUCell(in_features, in_features)
+
+    def forward(self, x, edges, node_graph_ind):
+        n = x.shape[0]
+        counts = torch.bincount(node_graph_ind, minlength=int(node_graph_ind.max()) + 1)
+        offsets = torch.cumsum(counts, 0) - counts
+        src = (edges[:, 0] + offsets[edges[:, 3]]).long()
+        dst = (edges[:, 1] + offsets[edges[:, 3]]).long()
+        dist = edges[:, 2].float()
+
+        a1 = torch.zeros(n, n, dtype=x.dtype)
+        one_hop = dist == 1
+        a1[src[one_hop], dst[one_hop]] = 1.0
+        av = torch.zeros(n, n, dtype=x.dtype)
+        if self.ve:
+            virt = dist > 1
+            av[src[virt], dst[virt]] = 1.0 / dist[virt]
+
+        # longest-path depth per node over the 1-hop DAG
+        levels = np.zeros(n, dtype=np.int64)
+        a1np = a1.detach().numpy() > 0
+        indeg = a1np.sum(0).astype(np.int64)
+        from collections import deque
+        q = deque(int(i) for i in np.where(indeg == 0)[0])
+        rem = indeg.copy()
+        while q:
+            u = q.popleft()
+            for v in np.where(a1np[u])[0]:
+                levels[v] = max(levels[v], levels[u] + 1)
+                rem[v] -= 1
+                if rem[v] == 0:
+                    q.append(int(v))
+        max_level = int(levels.max()) if n else 0
+        levels_t = torch.tensor(levels)
+
+        h = x
+        for _ in range(self.T):
+            for backward in (False, True):
+                a1d = a1.t() if backward else a1
+                avd = av.t() if backward else av
+                denom = (a1d.sum(0) + avd.sum(0)).clamp(min=1.0).unsqueeze(1)
+                order = range(max_level, -1, -1) if backward else range(max_level + 1)
+                for lvl in order:
+                    upd = levels_t == lvl
+                    if not bool(upd.any()):
+                        continue
+                    msg = a1d.t() @ self.mlp(h)
+                    if self.ve:
+                        msg = msg + avd.t() @ self.mlp_ve(h)
+                    msg = msg / denom
+                    h_new = self.gru(msg, h)
+                    h = torch.where(upd.unsqueeze(1), h_new, h)
+        return h
+
+
 class ShapeEncoder(nn.Module):
     def __init__(self, hid, num_classes, max_shape, debug_level=0):
         super().__init__()
@@ -159,8 +241,11 @@ class GHN(nn.Module):
         self.shape_enc = ShapeEncoder(hid=hid, num_classes=num_classes, max_shape=max_shape,
                                       debug_level=debug_level)
 
-        # hypernet/decoder construction is overridden by GHN3 in the reference; the GHN-3 subclass
-        # replaces self.gnn and self.decoder, so only decoder_1d/bias_class matter here.
+        # The GHN-3 subclass replaces self.gnn and self.decoder; the GHN-2 path
+        # (is_ghn2=True) keeps this GatedGNN (reference nn.py:146 gates the
+        # graphormer construction on `not self._is_ghn2`).
+        if hypernet == 'gatedgnn':
+            self.gnn = GatedGNN(in_features=hid, ve=ve)
         max_ch = max(max_shape[:2])
         self.decoder_1d = MLP(in_features=hid, hid=(hid * 2, 2 * max_ch), last_activation=None)
         self.bias_class = nn.Sequential(nn.ReLU(), nn.Linear(max_ch, num_classes))

@@ -101,6 +101,64 @@ def test_meta_training_step_on_deepnets(dataset):
     assert np.isfinite(m['loss'].avg)
 
 
+def test_interpreter_on_dataset_records(dataset):
+    """The genotype-as-data executor consumes dataset-decoded records directly:
+    logits match predict_packed + the attached functional Network."""
+    from ghn3_tpu.nets import interpreter as itp
+    from ghn3_tpu.predict import build_plan, forward_embeddings, predict_packed
+
+    ghn = GHN3(CFG, seed=0)
+    vocab = dataset.interpreter_vocab()
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(2, 3, 32, 32)).astype(np.float32))
+
+    for i in range(3):
+        g = dataset[i]
+        net = g.net
+        batch = GraphBatch.from_graphs([g])
+        packed = predict_packed(ghn.params, CFG, batch, [net.param_table()],
+                                sanity_check=True)
+        logits_ref = np.asarray(net(packed[0], images, training=True))
+
+        bucket, arch = itp.encode_arch(g, num_classes=10, is_imagenet_input=False,
+                                       cfg=CFG, vocab=vocab)
+        plan = build_plan(batch, [net.param_table()], CFG)
+        si = np.asarray(plan.shape_ind[0][:g.n_nodes])
+        np.testing.assert_array_equal(arch['shape_ind'], si)
+
+        x = forward_embeddings(ghn.params, CFG, batch, plan.shape_ind)
+        x0 = x.reshape(1, batch.n_pad, -1)[0]
+        arch_j = {k: jnp.asarray(v) for k, v in arch.items() if k != 'shape_ind'}
+        logits_int, _ = itp.interpret_forward(ghn.params, CFG, bucket, x0, arch_j,
+                                              images)
+        np.testing.assert_allclose(np.asarray(logits_int), logits_ref,
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_interp_stream_from_dataset(dataset):
+    """stream_interp_batches: sampler indices -> bucket-homogeneous meta-batches,
+    consumable by the Trainer with a bounded program cache."""
+    from ghn3_tpu.data.deepnets1m import NodeBudgetSampler
+    from ghn3_tpu.parallel.meta_executor import stream_interp_batches
+    from ghn3_tpu.parallel.trainer import Trainer
+
+    sampler = NodeBudgetSampler(dataset, meta_batch_size=2, seed=0)
+    stream = stream_interp_batches(dataset, sampler, CFG, 2, num_classes=10,
+                                   is_imagenet_input=False, patience=8,
+                                   vocab=dataset.interpreter_vocab())
+    ghn = GHN3(CFG, seed=0)
+    trainer = Trainer(ghn=ghn, opt='adamw', opt_args={'lr': 1e-3},
+                      n_batches=2, predparam_wd=3e-5)
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(4, 3, 32, 32)).astype(np.float32)
+    labels = rng.integers(0, 10, size=(4,))
+    for _ in range(2):
+        ib = next(stream)
+        assert len(ib.batch) == 2
+        m = trainer.update(images, labels, meta_batch=ib)
+        assert np.isfinite(m['loss'].avg)
+
+
 def test_node_budget_sampler(dataset):
     from ghn3_tpu.data.deepnets1m import NodeBudgetSampler
     sampler = NodeBudgetSampler(dataset, meta_batch_size=2, seed=0)

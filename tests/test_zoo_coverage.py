@@ -18,8 +18,11 @@ from ghn3_tpu.zoo.torch_zoo import TORCH_ZOO
 
 CFG = GHNConfig(hid=16, heads=2, layers=1, max_shape=(16, 16, 11, 11), num_classes=10)
 
+NEW_FAMILIES = ['alexnet', 'vgg11', 'googlenet', 'mnasnet1_0',
+                'shufflenet_v2_x1_0', 'regnet_y_400mf', 'efficientnet_v2_s_ish']
+
 ARCHS = ['mobilenet_v2', 'squeezenet1_1', 'densenet121', 'efficientnet_b0ish',
-         'vgg16_bn', 'resnet50', 'vit_b_16', 'inception_v3ish']
+         'vgg16_bn', 'resnet50', 'vit_b_16', 'inception_v3ish'] + NEW_FAMILIES
 
 
 def _small(name):
@@ -28,11 +31,14 @@ def _small(name):
         kwargs.update(dim=32, depth=2, heads=2, patch=8)
     if name == 'inception_v3ish':
         kwargs.update(c=8)
+    if name in NEW_FAMILIES:
+        kwargs.update(w=0.25)
     m = TORCH_ZOO[name](**kwargs)
     if name == 'vit_b_16':
         m.expected_input_sz = 32
     elif name != 'inception_v3ish':   # inception keeps its 299px default
         m.expected_input_sz = 64
+    m.train()   # aux-head families trace their training-mode graphs
     return m
 
 
@@ -49,7 +55,8 @@ def test_all_params_predictable(name):
 
 @pytest.mark.skipif(not reference_available(), reason='reference repo not mounted')
 @pytest.mark.parametrize('name', ['mobilenet_v2', 'squeezenet1_1', 'densenet121',
-                                  'efficientnet_b0ish', 'vgg16_bn', 'inception_v3ish'])
+                                  'efficientnet_b0ish', 'vgg16_bn', 'inception_v3ish']
+                                 + NEW_FAMILIES)
 def test_zoo_graph_matches_reference(name):
     enable_reference_import()
     from ghn3.graph import Graph
