@@ -86,6 +86,8 @@ def main():
         meta_name = 'ghn3xlm16.pt'
     elif args.ckpt.find('tm8') >= 0:
         meta_name = 'ghn3tm8.pt'
+    elif args.ckpt.find('ghn2') >= 0:
+        meta_name = 'ghn2.pt'
 
     results = predict_and_eval_suite(ghn, suite, data=data,
                                      batch_size=args.val_batch_size,

@@ -156,7 +156,9 @@ def main():
     ghn = GHN3(cfg, seed=args.seed)
     log(f'GHN-3 with {ghn.num_params()} parameters, config: {cfg}')
 
-    data = image_loader(args.dataset, args.data_dir, imsize=args.imsize)
+    data = image_loader(args.dataset, args.data_dir, imsize=args.imsize,
+                        aug=args.aug, crop_pct=args.crop_pct,
+                        workers=args.num_workers)
     if args.executor == 'interpreter':
         arch_stream = build_interp_stream(args, cfg)
         pool = None

@@ -82,7 +82,9 @@ def main():
     model = build_model(args)
     params = init_params(args, model)
 
-    data = image_loader(args.dataset, args.data_dir, imsize=args.imsize)
+    data = image_loader(args.dataset, args.data_dir, imsize=args.imsize,
+                        aug=args.aug, crop_pct=args.crop_pct,
+                        workers=args.num_workers)
     mesh = data_mesh()
     n_batches = max(1, data.num_examples // args.batch_size)
     trainer = Trainer(model=model, model_params=params, opt=args.opt,

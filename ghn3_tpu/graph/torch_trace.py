@@ -150,6 +150,16 @@ def _autograd_walk(model, input_sz):
                         continue
                     if hasattr(uu, 'variable'):
                         var = uu.variable
+                        if id(var) not in param_map:
+                            # matches the reference's contract (graph.py:443): every
+                            # differentiable leaf must be a registered parameter —
+                            # but fail with an actionable message, not a KeyError
+                            raise ValueError(
+                                'traced a differentiable leaf tensor of shape '
+                                f'{tuple(var.size())} that is not a registered '
+                                'parameter of the model; register it via '
+                                'nn.Parameter/register_parameter or detach it '
+                                '(GHNs can only predict named parameters)')
                         name, module = param_map[id(var)]
                         leaves.append((uu, name, {'size': tuple(var.size()), **_saved_attrs(var)}, module))
             if not leaves:
@@ -237,6 +247,12 @@ def _filter_graph(nodes: List[_Node], A: np.ndarray,
             name = node.param_name
             if name.find(pattern) >= 0:
                 try:
+                    # NOTE: for i < 3 the negative offsets WRAP AROUND to the end
+                    # of the node list. This reproduces the reference's Python
+                    # indexing behavior (graph.py:~700 neighbor window) on
+                    # purpose — the pretrained checkpoints were trained on graphs
+                    # built this way, so "fixing" it would break parity
+                    # (tests/test_trace_parity.py::test_neighbor_window_wraparound_locked).
                     neigh = {j: nodes[i + j].param_name.lower() for j in (-1, -2, -3, 1)}
                     clf_head = any(neigh[j].startswith(('classifier', 'fc', 'head')) for j in (-1, -2))
                 except Exception:

@@ -272,9 +272,21 @@ class Cell(FModule):
             base, ks = parse_op_ks(name)
             self._ops.append(OPS[base](c_in if index <= 1 else c_out, c_out, ks, stride, norm))
 
-    def __call__(self, P, s0, s1, prefix='', training=False):
+    def __call__(self, P, s0, s1, prefix='', training=False,
+                 drop_path_prob: float = 0.0, rng=None):
         def run(mod, sub, x):
             return None if x is None else mod(P, x, prefix=f'{prefix}{sub}.', training=training)
+
+        use_dp = training and drop_path_prob > 0 and rng is not None
+
+        def maybe_drop(h, op):
+            # DARTS stochastic depth on non-identity op outputs (reference
+            # ops.py:367-375); rng is split per application
+            nonlocal rng
+            if not use_dp or isinstance(op, Identity) or h is None:
+                return h
+            rng, sub = jax.random.split(rng)
+            return drop_path(h, drop_path_prob, sub)
 
         s0 = run(self.preprocess0, 'preprocess0', s0)
         s1 = run(self.preprocess1, 'preprocess1', s1)
@@ -286,10 +298,10 @@ class Cell(FModule):
             op1, op2 = self._ops[2 * i], self._ops[2 * i + 1]
             s = None
             if not (isinstance(op1, Zero) or h1 is None):
-                h1 = run(op1, f'_ops.{2 * i}', h1)
+                h1 = maybe_drop(run(op1, f'_ops.{2 * i}', h1), op1)
                 s = h1
             if not (isinstance(op2, Zero) or h2 is None):
-                h2 = run(op2, f'_ops.{2 * i + 1}', h2)
+                h2 = maybe_drop(run(op2, f'_ops.{2 * i + 1}', h2), op2)
                 s = h2 if s is None else h1 + h2
             states.append(s)
 
@@ -407,7 +419,8 @@ class Network(FModule):
             fc.append(Linear(fc_dim, fc_dim if i < fc_layers - 2 else num_classes))
         self.classifier = Sequential(*fc)
 
-    def __call__(self, P, x, prefix='', training=False):
+    def __call__(self, P, x, prefix='', training=False,
+                 drop_path_prob: float = 0.0, rng=None):
         if self._is_vit:
             s0 = self.stem0(P, x, prefix + 'stem0.', training)
             s0 = s1 = self.pos_enc(P, s0, prefix + 'pos_enc.', training)
@@ -419,7 +432,12 @@ class Network(FModule):
 
         logits_aux = None
         for cell_ind, cell in enumerate(self.cells):
-            s0, s1 = s1, cell(P, s0, s1, prefix=f'{prefix}cells.{cell_ind}.', training=training)
+            cell_rng = None
+            if rng is not None:
+                rng, cell_rng = jax.random.split(rng)
+            s0, s1 = s1, cell(P, s0, s1, prefix=f'{prefix}cells.{cell_ind}.',
+                              training=training, drop_path_prob=drop_path_prob,
+                              rng=cell_rng)
             if self._auxiliary and training and cell_ind == self._auxiliary_cell_ind:
                 logits_aux = self.auxiliary_head(P, s1, prefix + 'auxiliary_head.', training)
 

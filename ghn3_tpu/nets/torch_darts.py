@@ -285,6 +285,26 @@ def build_torch_network(genotype: Genotype, C=32, num_classes=10, n_cells=4, ks=
                 self.cells.append(cell)
                 reduction_prev = reduction
                 c_prev_prev, c_prev = c_prev, cell.multiplier * c_curr
+                if auxiliary and cell_ind == 2 * n_cells // 3:
+                    # aux classifier head, structurally identical to
+                    # nets/darts.AuxiliaryHead (ppuda AuxiliaryHead*, SURVEY §2.9)
+                    stride = 2 if is_imagenet_input else 3
+                    pool_sz = 2 if (stem_type == 1 or stem_pool) else 5
+                    self.auxiliary_head = nn.Module()
+                    self.auxiliary_head.features = nn.Sequential(
+                        nn.ReLU(),
+                        nn.AvgPool2d(pool_sz if not is_imagenet_input else 5,
+                                     stride=stride, padding=0,
+                                     count_include_pad=False),
+                        nn.Conv2d(c_prev, 128, 1, bias=False),
+                        nn.BatchNorm2d(128),
+                        nn.ReLU(),
+                        nn.Conv2d(128, 768, 2, bias=False),
+                        nn.BatchNorm2d(768),
+                        nn.ReLU())
+                    self.auxiliary_head.classifier = nn.Linear(768, num_classes)
+            self._auxiliary = auxiliary
+            self._auxiliary_cell_ind = 2 * n_cells // 3
 
             self._glob_avg = glob_avg
             if not glob_avg:
@@ -306,9 +326,15 @@ def build_torch_network(genotype: Genotype, C=32, num_classes=10, n_cells=4, ks=
                 s1 = self.stem1(s0)
             else:
                 s0 = s1 = self.stem(x)
-            for cell in self.cells:
+            logits_aux = None
+            for cell_ind, cell in enumerate(self.cells):
                 s0, s1 = s1, cell(s0, s1)
+                if self._auxiliary and self.training and \
+                        cell_ind == self._auxiliary_cell_ind:
+                    a = self.auxiliary_head.features(s1)
+                    logits_aux = self.auxiliary_head.classifier(a.view(a.size(0), -1))
             out = s1.mean(dim=(2, 3)) if self._glob_avg else s1.reshape(s1.size(0), -1)
-            return self.classifier(out)
+            logits = self.classifier(out)
+            return (logits, logits_aux) if logits_aux is not None else logits
 
     return Network()

@@ -82,6 +82,10 @@ def base_parser(mode: str) -> argparse.ArgumentParser:
         p.add_argument('--label_smoothing', type=float, default=0.0)
         p.add_argument('--bce', action='store_true')
         p.add_argument('--mixup', action='store_true')
+        p.add_argument('--aug', type=str, default=None,
+                       help="RandAugment spec, e.g. 'rand-m6-mstd0.5' (A3 recipe)")
+        p.add_argument('--crop_pct', type=float, default=0.875,
+                       help='eval center-crop ratio (0.95 for the A3 recipe)')
         p.add_argument('--predparam_wd', type=float, default=0.0)
         p.add_argument('--interm_epoch', type=int, default=5)
         p.add_argument('--log_interval', type=int, default=100)

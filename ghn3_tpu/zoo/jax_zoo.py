@@ -927,6 +927,146 @@ class EffNetV2F(_Target):
         return self.classifier(P, x, prefix + 'classifier.', training)
 
 
+def _swin_rel_index(window: int):
+    import numpy as np
+    coords = np.stack(np.meshgrid(np.arange(window), np.arange(window),
+                                  indexing='ij')).reshape(2, -1)
+    rel = coords[:, :, None] - coords[:, None, :]
+    rel = rel.transpose(1, 2, 0) + (window - 1)
+    return (rel[..., 0] * (2 * window - 1) + rel[..., 1]).astype('int32')
+
+
+def _swin_attn_mask(h: int, w: int, window: int, shift: int):
+    import numpy as np
+    mask = np.zeros((h, w), np.float32)
+    cnt = 0
+    for hs in ((0, h - window), (h - window, h - shift), (h - shift, h)):
+        for vs in ((0, w - window), (w - window, w - shift), (w - shift, w)):
+            mask[hs[0]:hs[1], vs[0]:vs[1]] = cnt
+            cnt += 1
+    nwh, nww = h // window, w // window
+    mw = mask.reshape(nwh, window, nww, window).transpose(0, 2, 1, 3) \
+             .reshape(nwh * nww, window * window)
+    am = mw[:, None, :] - mw[:, :, None]
+    return np.where(am != 0, -100.0, 0.0).astype(np.float32)
+
+
+class _SwinAttnF(FModule):
+    def __init__(self, dim, heads, shift, window):
+        super().__init__()
+        self.dim, self.heads, self.shift, self.window = dim, heads, shift, window
+        self.qkv = Linear(dim, dim * 3)
+        self.proj = Linear(dim, dim)
+        self.declare('relative_position_bias_table',
+                     ((2 * window - 1) ** 2, heads), True)
+        self.rel_index = _swin_rel_index(window)
+
+    def __call__(self, P, x, prefix='', training=False):
+        b, h, w, c = x.shape
+        ws, sh, nh = self.window, self.shift, self.heads
+        if sh > 0:
+            x = jnp.roll(x, shift=(-sh, -sh), axis=(1, 2))
+        nwh, nww = h // ws, w // ws
+        xw = x.reshape(b, nwh, ws, nww, ws, c).transpose(0, 1, 3, 2, 4, 5) \
+              .reshape(b * nwh * nww, ws * ws, c)
+        qkv = self.qkv(P, xw, prefix + 'qkv.', training) \
+            .reshape(xw.shape[0], ws * ws, 3, nh, c // nh).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = jnp.einsum('bhnd,bhmd->bhnm', q, k) * (c // nh) ** -0.5
+        # bias table is a bare parameter the GHN does not predict; zeros = init
+        table = self.p(P, prefix, 'relative_position_bias_table')
+        if table is None:
+            table = jnp.zeros(((2 * ws - 1) ** 2, nh), x.dtype)
+        bias = table[self.rel_index.reshape(-1)].reshape(ws * ws, ws * ws, nh)
+        attn = attn + bias.transpose(2, 0, 1)[None]
+        if sh > 0:
+            am = jnp.asarray(_swin_attn_mask(h, w, ws, sh))
+            attn = attn.reshape(b, nwh * nww, nh, ws * ws, ws * ws)
+            attn = attn + am[None, :, None]
+            attn = attn.reshape(-1, nh, ws * ws, ws * ws)
+        attn = jax.nn.softmax(attn, axis=-1)
+        y = jnp.einsum('bhnm,bhmd->bhnd', attn, v).transpose(0, 2, 1, 3) \
+            .reshape(xw.shape[0], ws * ws, c)
+        y = self.proj(P, y, prefix + 'proj.', training)
+        y = y.reshape(b, nwh, nww, ws, ws, c).transpose(0, 1, 3, 2, 4, 5) \
+             .reshape(b, h, w, c)
+        if sh > 0:
+            y = jnp.roll(y, shift=(sh, sh), axis=(1, 2))
+        return y
+
+
+class _SwinBlockF(FModule):
+    def __init__(self, dim, heads, shift, window, mlp_ratio=4.0):
+        super().__init__()
+        self.norm1 = LayerNorm(dim)
+        self.attn = _SwinAttnF(dim, heads, shift, window)
+        self.norm2 = LayerNorm(dim)
+        hidden = int(dim * mlp_ratio)
+        self.mlp = Sequential(Linear(dim, hidden), GELU(), Dropout(0.0),
+                              Linear(hidden, dim), Dropout(0.0))
+
+    def __call__(self, P, x, prefix='', training=False):
+        # stochastic depth is identity at inference (eval twins)
+        x = x + self.attn(P, self.norm1(P, x, prefix + 'norm1.', training),
+                          prefix + 'attn.', training)
+        return x + self.mlp(P, self.norm2(P, x, prefix + 'norm2.', training),
+                            prefix + 'mlp.', training)
+
+
+class _PatchMergingF(FModule):
+    def __init__(self, dim):
+        super().__init__()
+        self.reduction = Linear(4 * dim, 2 * dim, bias=False)
+        self.norm = LayerNorm(4 * dim)
+
+    def __call__(self, P, x, prefix='', training=False):
+        x = jnp.concatenate([x[..., 0::2, 0::2, :], x[..., 1::2, 0::2, :],
+                             x[..., 0::2, 1::2, :], x[..., 1::2, 1::2, :]], axis=-1)
+        x = self.norm(P, x, prefix + 'norm.', training)
+        return self.reduction(P, x, prefix + 'reduction.', training)
+
+
+class _PatchEmbedF(FModule):
+    """Conv stem + NHWC permute + LN; named 0/2 to mirror the torch Sequential
+    (the Permute module at index 1 has no parameters)."""
+
+    def __init__(self, dim):
+        super().__init__()
+        self.add('0', Conv2d(3, dim, 4, stride=4))
+        self.add('2', LayerNorm(dim))
+
+    def __call__(self, P, x, prefix='', training=False):
+        x = self._children['0'](P, x, prefix + '0.', training).transpose(0, 2, 3, 1)
+        return self._children['2'](P, x, prefix + '2.', training)
+
+
+class SwinF(_Target):
+    def __init__(self, num_classes=1000, embed_dim=96, depths=(2, 2, 6, 2),
+                 heads=(3, 6, 12, 24), window=7, mlp_ratio=4.0,
+                 stochastic_depth_prob=0.2, input_sz=224):
+        super().__init__()
+        self.num_classes = num_classes
+        self.expected_input_sz = input_sz
+        self.predicted: Dict[str, jnp.ndarray] = {}
+        layers = [_PatchEmbedF(embed_dim)]
+        dim = embed_dim
+        for si, (dep, nh) in enumerate(zip(depths, heads)):
+            blocks = [_SwinBlockF(dim, nh, 0 if i % 2 == 0 else window // 2,
+                                  window, mlp_ratio) for i in range(dep)]
+            layers.append(Sequential(*blocks))
+            if si < len(depths) - 1:
+                layers.append(_PatchMergingF(dim))
+                dim *= 2
+        self.features = Sequential(*layers)
+        self.norm = LayerNorm(dim)
+        self.head = Linear(dim, num_classes)
+
+    def __call__(self, P, x, prefix='', training=False):
+        x = self.features(P, x, prefix + 'features.', training)
+        x = self.norm(P, x, prefix + 'norm.', training)
+        return self.head(P, x.mean(axis=(1, 2)), prefix + 'head.', training)
+
+
 JAX_ZOO = {
     'resnet18': lambda num_classes=1000: ResNetF('basic', (2, 2, 2, 2), num_classes=num_classes),
     'resnet34': lambda num_classes=1000: ResNetF('basic', (3, 4, 6, 3), num_classes=num_classes),
@@ -950,4 +1090,5 @@ JAX_ZOO = {
     'shufflenet_v2_x1_0': ShuffleNetV2F,
     'regnet_y_400mf': RegNetF,
     'efficientnet_v2_s_ish': EffNetV2F,
+    'swin_t': SwinF,
 }

@@ -989,6 +989,163 @@ def efficientnet_v2_s_ish(num_classes=1000, w=1.0):
     return EffNetV2()
 
 
+def swin_t(num_classes=1000, embed_dim=96, depths=(2, 2, 6, 2),
+           heads=(3, 6, 12, 24), window=7, mlp_ratio=4.0,
+           stochastic_depth_prob=0.2, input_sz=224):
+    """Swin-T (Liu 2021), torchvision layout: NHWC stages of shifted-window
+    attention blocks with relative position bias, PatchMerging between stages,
+    per-block stochastic depth. The class subclasses torchvision's
+    SwinTransformer so the reference's Swin-specific edge fixes engage
+    (/root/reference/ghn3/graph.py:579-598)."""
+    torch, nn, F = _torch()
+    try:
+        from torchvision.models import SwinTransformer as _SwinBase
+    except ImportError:
+        _SwinBase = nn.Module
+
+    class Permute(nn.Module):
+        def __init__(self, dims):
+            super().__init__()
+            self.dims = dims
+
+        def forward(self, x):
+            return x.permute(self.dims)
+
+    class StochasticDepth(nn.Module):
+        """Row-mode stochastic depth (torchvision.ops.StochasticDepth)."""
+
+        def __init__(self, p):
+            super().__init__()
+            self.p = p
+
+        def forward(self, x):
+            if not self.training or self.p == 0.0:
+                return x
+            keep = 1.0 - self.p
+            shape = [x.shape[0]] + [1] * (x.ndim - 1)
+            noise = torch.empty(shape, dtype=x.dtype, device=x.device)
+            noise.bernoulli_(keep).div_(keep)
+            return x * noise
+
+    class ShiftedWindowAttention(nn.Module):
+        def __init__(self, dim, num_heads, shift):
+            super().__init__()
+            self.dim, self.heads, self.shift, self.window = dim, num_heads, shift, window
+            self.qkv = nn.Linear(dim, dim * 3)
+            self.proj = nn.Linear(dim, dim)
+            self.relative_position_bias_table = nn.Parameter(
+                torch.zeros((2 * window - 1) ** 2, num_heads))
+            coords = torch.stack(torch.meshgrid(torch.arange(window),
+                                                torch.arange(window),
+                                                indexing='ij')).flatten(1)
+            rel = coords[:, :, None] - coords[:, None, :]
+            rel = rel.permute(1, 2, 0) + (window - 1)
+            idx = rel[..., 0] * (2 * window - 1) + rel[..., 1]
+            self.register_buffer('relative_position_index', idx, persistent=False)
+
+        def forward(self, x):
+            b, h, w, c = x.shape
+            ws, sh = self.window, self.shift
+            nh = self.heads
+            if sh > 0:
+                x = torch.roll(x, shifts=(-sh, -sh), dims=(1, 2))
+            nwh, nww = h // ws, w // ws
+            xw = x.view(b, nwh, ws, nww, ws, c).permute(0, 1, 3, 2, 4, 5) \
+                  .reshape(b * nwh * nww, ws * ws, c)
+            qkv = self.qkv(xw).reshape(xw.shape[0], ws * ws, 3, nh, c // nh) \
+                              .permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            attn = (q @ k.transpose(-2, -1)) * (c // nh) ** -0.5
+            bias = self.relative_position_bias_table[
+                self.relative_position_index.view(-1)].view(ws * ws, ws * ws, nh)
+            attn = attn + bias.permute(2, 0, 1)[None]
+            if sh > 0:
+                mask = x.new_zeros(h, w)
+                slices = ((0, -ws), (-ws, -sh), (-sh, None))
+                cnt = 0
+                for hs in slices:
+                    for vs in slices:
+                        mask[hs[0]:hs[1], vs[0]:vs[1]] = cnt
+                        cnt += 1
+                mw = mask.view(nwh, ws, nww, ws).permute(0, 2, 1, 3) \
+                         .reshape(nwh * nww, ws * ws)
+                am = mw[:, None, :] - mw[:, :, None]
+                am = am.masked_fill(am != 0, -100.0)
+                attn = attn.view(b, nwh * nww, nh, ws * ws, ws * ws)
+                attn = attn + am[None, :, None]
+                attn = attn.view(-1, nh, ws * ws, ws * ws)
+            attn = attn.softmax(dim=-1)
+            y = (attn @ v).transpose(1, 2).reshape(xw.shape[0], ws * ws, c)
+            y = self.proj(y)
+            y = y.view(b, nwh, nww, ws, ws, c).permute(0, 1, 3, 2, 4, 5) \
+                 .reshape(b, h, w, c)
+            if sh > 0:
+                y = torch.roll(y, shifts=(sh, sh), dims=(1, 2))
+            return y
+
+    class SwinBlock(nn.Module):
+        def __init__(self, dim, num_heads, shift, sd_prob):
+            super().__init__()
+            self.norm1 = nn.LayerNorm(dim)
+            self.attn = ShiftedWindowAttention(dim, num_heads, shift)
+            self.stochastic_depth = StochasticDepth(sd_prob)
+            self.norm2 = nn.LayerNorm(dim)
+            hidden = int(dim * mlp_ratio)
+            self.mlp = nn.Sequential(nn.Linear(dim, hidden), nn.GELU(), nn.Dropout(0.0),
+                                     nn.Linear(hidden, dim), nn.Dropout(0.0))
+
+        def forward(self, x):
+            x = x + self.stochastic_depth(self.attn(self.norm1(x)))
+            return x + self.stochastic_depth(self.mlp(self.norm2(x)))
+
+    class PatchMerging(nn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.reduction = nn.Linear(4 * dim, 2 * dim, bias=False)
+            self.norm = nn.LayerNorm(4 * dim)
+
+        def forward(self, x):
+            x0 = x[..., 0::2, 0::2, :]
+            x1 = x[..., 1::2, 0::2, :]
+            x2 = x[..., 0::2, 1::2, :]
+            x3 = x[..., 1::2, 1::2, :]
+            x = torch.cat([x0, x1, x2, x3], dim=-1)
+            return self.reduction(self.norm(x))
+
+    class SwinTransformer(_SwinBase):
+        def __init__(self):
+            nn.Module.__init__(self)
+            total = sum(depths)
+            layers = [nn.Sequential(nn.Conv2d(3, embed_dim, 4, stride=4),
+                                    Permute([0, 2, 3, 1]), nn.LayerNorm(embed_dim))]
+            bid = 0
+            dim = embed_dim
+            for si, (dep, nh) in enumerate(zip(depths, heads)):
+                blocks = []
+                for i in range(dep):
+                    sd = stochastic_depth_prob * bid / max(1, total - 1)
+                    blocks.append(SwinBlock(dim, nh, 0 if i % 2 == 0 else window // 2, sd))
+                    bid += 1
+                layers.append(nn.Sequential(*blocks))
+                if si < len(depths) - 1:
+                    layers.append(PatchMerging(dim))
+                    dim *= 2
+            self.features = nn.Sequential(*layers)
+            self.norm = nn.LayerNorm(dim)
+            self.permute = Permute([0, 3, 1, 2])
+            self.avgpool = nn.AdaptiveAvgPool2d(1)
+            self.flatten = nn.Flatten(1)
+            self.head = nn.Linear(dim, num_classes)
+            self.expected_input_sz = input_sz
+
+        def forward(self, x):
+            x = self.norm(self.features(x))
+            x = self.flatten(self.avgpool(self.permute(x)))
+            return self.head(x)
+
+    return SwinTransformer()
+
+
 TORCH_ZOO = {
     'resnet18': resnet18,
     'resnet34': resnet34,
@@ -1011,4 +1168,5 @@ TORCH_ZOO = {
     'shufflenet_v2_x1_0': shufflenet_v2_x1_0,
     'regnet_y_400mf': regnet_y_400mf,
     'efficientnet_v2_s_ish': efficientnet_v2_s_ish,
+    'swin_t': swin_t,
 }

@@ -29,10 +29,14 @@ SMALL = {
     'shufflenet_v2_x1_0': dict(w=0.25),
     'regnet_y_400mf': dict(w=0.5),
     'efficientnet_v2_s_ish': dict(w=0.25),
+    'swin_t': dict(embed_dim=16, depths=(2, 2), heads=(2, 2), window=4,
+                   input_sz=128),
 }
 
 
 def _input_size(name):
+    if name == 'swin_t':
+        return 128
     return 96 if name == 'inception_v3ish' else 64
 
 

@@ -67,3 +67,58 @@ def test_twin_predicted_params_run_in_functional_net(idx):
         ref = twin(torch.from_numpy(x)).numpy()
     out = np.asarray(fnet(fnet.predicted, jnp.asarray(x)))
     np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
+
+
+@pytest.mark.skipif(not reference_available(), reason='reference repo not mounted')
+def test_twin_aux_head_matches_reference():
+    """auxiliary=True: twin parameter tree equals the reference Network's
+    (aux classifier heads, reference ops.py:512-517; VERDICT round-1 item 10)."""
+    enable_reference_import()
+    from ghn3.ops import Network as RefNetwork
+    from ppuda.deepnets1m.genotypes import from_dict as ref_from_dict
+
+    geno_dict, args = GENOTYPES[0]
+    ref_net = RefNetwork(genotype=ref_from_dict(geno_dict), num_classes=10,
+                         is_imagenet_input=False, imagenet_stride=4,
+                         auxiliary=True, **args)
+    twin = build_torch_network(from_dict(geno_dict), num_classes=10,
+                               is_imagenet_input=False, auxiliary=True, **args)
+    ref_names = sorted(n for n, p in ref_net.named_parameters())
+    twin_names = sorted(n for n, p in twin.named_parameters())
+    assert ref_names == twin_names
+    ref_shapes = {n: tuple(p.shape) for n, p in ref_net.named_parameters()}
+    for n, p in twin.named_parameters():
+        assert tuple(p.shape) == ref_shapes[n], (n, tuple(p.shape), ref_shapes[n])
+    # training-mode forward returns (logits, aux)
+    twin.train()
+    out = twin(torch.randn(2, 3, 32, 32))
+    assert isinstance(out, tuple) and out[0].shape == out[1].shape == (2, 10)
+
+
+def test_drop_path_rng_plumbed():
+    """drop_path_prob>0 with an rng makes the training forward stochastic and
+    deterministic per key (VERDICT round-1 item 10)."""
+    import jax
+    import jax.numpy as jnp
+    from ghn3_tpu.graph.genotypes import Genotype
+
+    geno = Genotype(normal=[('sep_conv_3x3', 0), ('conv_3x3', 1)], normal_concat=[2],
+                    reduce=[('conv_3x3', 0), ('skip_connect', 1)], reduce_concat=[2])
+    net = FNetwork(C=8, num_classes=10, genotype=geno, n_cells=3,
+                   is_imagenet_input=False, norm='bn', preproc=True, C_mult=1,
+                   fc_layers=1, fc_dim=0, stem_type=0, glob_avg=True)
+    rng = np.random.default_rng(0)
+    P = {name: jnp.asarray(rng.normal(size=shape).astype(np.float32)) * 0.1
+         for name, shape, _ in net.named_params()}
+    x = jnp.asarray(rng.normal(size=(4, 3, 32, 32)).astype(np.float32))
+
+    base = net(P, x, training=True)
+    a = net(P, x, training=True, drop_path_prob=0.5, rng=jax.random.PRNGKey(0))
+    a2 = net(P, x, training=True, drop_path_prob=0.5, rng=jax.random.PRNGKey(0))
+    b = net(P, x, training=True, drop_path_prob=0.5, rng=jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a2), atol=1e-6)
+    assert not np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    assert not np.allclose(np.asarray(a), np.asarray(base), atol=1e-4)
+    # prob=0 or no rng: unchanged deterministic path
+    c = net(P, x, training=True, drop_path_prob=0.0, rng=jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(c), np.asarray(base), atol=1e-6)

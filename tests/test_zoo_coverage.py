@@ -21,6 +21,13 @@ CFG = GHNConfig(hid=16, heads=2, layers=1, max_shape=(16, 16, 11, 11), num_class
 NEW_FAMILIES = ['alexnet', 'vgg11', 'googlenet', 'mnasnet1_0',
                 'shufflenet_v2_x1_0', 'regnet_y_400mf', 'efficientnet_v2_s_ish']
 
+
+def _small_swin():
+    m = TORCH_ZOO['swin_t'](num_classes=10, embed_dim=16, depths=(2, 2),
+                            heads=(2, 2), window=4, input_sz=64)
+    m.train()
+    return m
+
 ARCHS = ['mobilenet_v2', 'squeezenet1_1', 'densenet121', 'efficientnet_b0ish',
          'vgg16_bn', 'resnet50', 'vit_b_16', 'inception_v3ish'] + NEW_FAMILIES
 
@@ -67,6 +74,55 @@ def test_zoo_graph_matches_reference(name):
     assert ours.n_nodes == ref.n_nodes, name
     np.testing.assert_array_equal(ours.node_op, ref.node_feat.numpy().reshape(-1))
     np.testing.assert_array_equal(ours.adj, ref._Adj.numpy())
+
+
+@pytest.mark.skipif(not reference_available(), reason='reference repo not mounted')
+def test_swin_t_graph_and_predict_match_reference():
+    """Real Swin-T (shifted windows, patch merging, stochastic depth): traced
+    graph byte-identical AND predicted parameters equal to the reference's at
+    1e-5 — the reference's Swin-specific edge fixes (graph.py:579-598) engage on
+    the true structure via the torchvision shim class. The
+    relative_position_bias_table tensors are bare parameters neither
+    implementation predicts (verified unchanged on both sides)."""
+    enable_reference_import()
+    from ghn3.graph import Graph
+    from ghn3.nn import GHN3 as RefGHN3
+    from ghn3_tpu import GHN3
+    from ghn3_tpu.checkpoint import params_from_state_dict
+
+    torch.manual_seed(0)
+    m = _small_swin()
+    ref_g = Graph(copy.deepcopy(m))
+    ours_g = trace_torch_model(m)
+    assert ours_g.n_nodes == ref_g.n_nodes
+    np.testing.assert_array_equal(ours_g.node_op, ref_g.node_feat.numpy().reshape(-1))
+    np.testing.assert_array_equal(ours_g.adj, ref_g._Adj.numpy())
+
+    torch.manual_seed(7)
+    ref_ghn = RefGHN3(max_shape=CFG.max_shape, num_classes=CFG.num_classes,
+                      hid=CFG.hid, heads=CFG.heads, layers=CFG.layers,
+                      is_ghn2=False, pretrained=False, ve=True, weight_norm=True,
+                      layernorm=True, debug_level=0)
+    ref_ghn.eval()
+    sd = {k: v.detach().cpu().numpy() for k, v in ref_ghn.state_dict().items()}
+    our_ghn = GHN3(CFG, params=params_from_state_dict(sd, CFG))
+
+    torch.manual_seed(0)
+    m_ref = _small_swin()
+    m_ours = copy.deepcopy(m_ref)
+    before = {n: p.detach().clone() for n, p in m_ref.named_parameters()}
+    with torch.no_grad():
+        ref_ghn(m_ref, keep_grads=False, reduce_graph=False,
+                bn_track_running_stats=True)
+    our_ghn(m_ours, reduce_graph=False, bn_track_running_stats=True)
+    for (k, pr), (_, po) in zip(m_ref.named_parameters(), m_ours.named_parameters()):
+        if k.endswith('relative_position_bias_table'):
+            assert torch.equal(pr, before[k]), f'{k} must stay at init (reference)'
+            assert torch.equal(po, before[k]), f'{k} must stay at init (ours)'
+            continue
+        np.testing.assert_allclose(po.detach().numpy(), pr.detach().numpy(),
+                                   atol=1e-5, rtol=1e-4,
+                                   err_msg=f'swin_t: predicted {k} differs')
 
 
 @pytest.mark.skipif(not reference_available(), reason='reference repo not mounted')
