@@ -72,14 +72,28 @@ def predict_suite(jax):
                   else torch_param_table(models[n])) for n in suite}
     t_graphs = time.time() - t0
 
-    # merged padded batches by node bucket -> few forward + assemble programs
+    # chunk the suite so each packed-output program fits HBM (21 full-size
+    # archs in one packed buffer + decode temps exceed 16 GB at fp32)
     names = sorted(suite, key=lambda n: graphs[n].n_nodes)
-    batch = GraphBatch.from_graphs([graphs[n] for n in names])
+    param_count = {n: sum(int(np.prod(r.sz)) for cell in tables[n]
+                          for r in cell.values()) for n in names}
+    budget = 220e6
+    chunks, cur, acc = [], [], 0
+    for n in names:
+        if cur and acc + param_count[n] > budget:
+            chunks.append(cur)
+            cur, acc = [], 0
+        cur.append(n)
+        acc += param_count[n]
+    chunks.append(cur)
+    batches = [(chunk, GraphBatch.from_graphs([graphs[n] for n in chunk]))
+               for chunk in chunks]
 
     def run_sweep():
-        views = P.predict_packed(ghn.params, cfg, batch,
-                                 [tables[n] for n in names])
-        jax.block_until_ready(views[0].buffer)
+        for chunk, batch in batches:
+            views = P.predict_packed(ghn.params, cfg, batch,
+                                     [tables[n] for n in chunk])
+            jax.block_until_ready(views[0].buffer)
 
     run_sweep()  # warmup: compile every (bucket, decode-key) program
     n_rep = 3
@@ -88,31 +102,35 @@ def predict_suite(jax):
         run_sweep()
     t_predict = (time.time() - t0) / n_rep
 
-    # FLOPs of the two executed programs for MFU
-    plan = P.build_plan(batch, [tables[n] for n in names], cfg)
-    levels = np.zeros_like(batch.node_op)
-    fwd_flops = _flops(P._forward_fn(cfg).lower(
-        ghn.params, batch.node_op, batch.adj, plan.shape_ind, batch.mask,
-        levels).compile())
-    active = list(plan.groups.items())
-    signature = tuple(
-        (key, tuple((tuple(it.target_sz), bool(it.record.is_w)) for it in items))
-        for key, items in active)
-    inds_groups = []
-    for key, items in active:
-        g = len(items)
-        inds = np.zeros((P._group_bucket(g),), dtype=np.int32)
-        inds[:g] = [it.flat_idx for it in items]
-        inds_groups.append(inds)
-    x_flat_shape = jax.ShapeDtypeStruct((len(batch) * batch.n_pad, cfg.hid),
-                                        np.float32)
-    asm_flops = _flops(P._assemble_all_fn(cfg, signature, cfg.weight_norm).lower(
-        ghn.params, x_flat_shape, tuple(inds_groups)).compile())
+    # FLOPs of the executed programs for MFU
+    total_flops = 0.0
+    for chunk, batch in batches:
+        plan = P.build_plan(batch, [tables[n] for n in chunk], cfg)
+        levels = np.zeros_like(batch.node_op)
+        total_flops += _flops(P._forward_fn(cfg).lower(
+            ghn.params, batch.node_op, batch.adj, plan.shape_ind, batch.mask,
+            levels).compile())
+        active = list(plan.groups.items())
+        signature = tuple(
+            (key, tuple((tuple(it.target_sz), bool(it.record.is_w)) for it in items))
+            for key, items in active)
+        inds_groups = []
+        for key, items in active:
+            g = len(items)
+            inds = np.zeros((P._group_bucket(g),), dtype=np.int32)
+            inds[:g] = [it.flat_idx for it in items]
+            inds_groups.append(inds)
+        x_flat_shape = jax.ShapeDtypeStruct((len(batch) * batch.n_pad, cfg.hid),
+                                            np.float32)
+        total_flops += _flops(P._assemble_all_fn(cfg, signature, cfg.weight_norm)
+                              .lower(ghn.params, x_flat_shape,
+                                     tuple(inds_groups)).compile())
 
-    total_flops = fwd_flops + asm_flops
     mfu = total_flops / t_predict / V5E_PEAK_FLOPS if total_flops else None
     return {
         'suite': len(suite),
+        'chunks': len(batches),
+        'total_params_predicted': int(sum(param_count.values())),
         'models_per_sec': len(suite) / t_predict,
         'predict_sweep_sec': round(t_predict, 3),
         'graph_build_total_sec': round(t_graphs, 2),

@@ -280,6 +280,9 @@ def _frob(w) -> jnp.ndarray:
 class _Fetcher:
     """Decode context closed over by every branch: GHN params + node embeddings.
     Accumulated Frobenius norms implement predparam_wd (reference trainer.py:288-294).
+    When cfg.dtype is bfloat16 the decoded weights are cast for the target-net
+    compute (reference AMP autocasts GHN and target forwards together,
+    trainer.py:298-346); decode itself and norm statistics stay f32.
     """
 
     def __init__(self, params, cfg: GHNConfig, x_flat, weight_norm: bool):
@@ -287,6 +290,10 @@ class _Fetcher:
         self.cfg = cfg
         self.x_flat = x_flat
         self.weight_norm = weight_norm
+        self.compute_dtype = jnp.dtype(cfg.dtype)
+
+    def cast(self, w):
+        return w.astype(self.compute_dtype)
 
     def _emb(self, node_id):
         return jax.lax.dynamic_index_in_dim(self.x_flat, node_id, axis=0, keepdims=True)
@@ -299,7 +306,7 @@ class _Fetcher:
         w = tile_params(w, sz)
         if self.weight_norm:
             w = normalize_params(w, True)
-        return w, _frob(w)
+        return self.cast(w), _frob(w)
 
     def pair(self, node_id, sz: Tuple[int, ...]):
         """Norm weight/bias channel pair from one node (rows 0/1 of decode_1d)."""
@@ -318,7 +325,7 @@ class _Fetcher:
         b = tile_params(z[1], sz)
         if self.weight_norm:
             b = normalize_params(b, False)
-        return b, _frob(b)
+        return self.cast(b), _frob(b)
 
     def cls_w(self, node_id, sz: Tuple[int, int]):
         """Final classification weight (class_layer_predictor head)."""
@@ -373,16 +380,20 @@ def _conv(x, w, stride=1, padding=0, dilation=1, groups=1):
 
 
 def _bn(x, w, b, eps=1e-5):
-    mu = x.mean(axis=(0, 2, 3), keepdims=True)
-    var = ((x - mu) ** 2).mean(axis=(0, 2, 3), keepdims=True)
-    y = (x - mu) * jax.lax.rsqrt(var + eps)
-    return y * w[None, :, None, None] + b[None, :, None, None]
+    # norm statistics in f32 even under bf16 compute (torch-AMP semantics)
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(axis=(0, 2, 3), keepdims=True)
+    var = ((xf - mu) ** 2).mean(axis=(0, 2, 3), keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = y * w[None, :, None, None] + b[None, :, None, None]
+    return y.astype(x.dtype)
 
 
 def _ln(x, w, b, eps=1e-5):
-    mu = x.mean(-1, keepdims=True)
-    var = ((x - mu) ** 2).mean(-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * w + b
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + eps) * w + b).astype(x.dtype)
 
 
 def _pool_counts(h: int, w: int, stride: int) -> np.ndarray:
@@ -403,9 +414,9 @@ def _pool(x, kind, stride):
     pads = ((0, 0), (0, 0), (1, 1), (1, 1))
     if kind == 'max':
         return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, dims, strides, pads)
-    summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, dims, strides, pads)
+    summed = jax.lax.reduce_window(x, x.dtype.type(0), jax.lax.add, dims, strides, pads)
     # count_include_pad=False (OPS avg_pool, ops.py:336); divisor is static
-    return summed / jnp.asarray(_pool_counts(x.shape[2], x.shape[3], stride))
+    return summed / jnp.asarray(_pool_counts(x.shape[2], x.shape[3], stride), x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -687,6 +698,7 @@ def interpret_forward(params, cfg: GHNConfig, bucket: ArchBucket,
     fe = _Fetcher(params, cfg, x_flat, weight_norm)
     geoms = cell_geometry(bucket)
 
+    images = images.astype(fe.compute_dtype)
     s0, s1, predwd = _run_stem(fe, bucket, arch['stem_nodes'], images)
     for geom in geoms:
         out, f = _run_cell(fe, bucket, geom, arch, s0, s1)

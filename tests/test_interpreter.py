@@ -166,3 +166,35 @@ def test_zero_recompiles_within_bucket():
     assert fwd._cache_size() == 1, 'interpreter recompiled within a bucket'
     # different genotypes must actually produce different functions of the input
     assert not np.allclose(outs[0], outs[1], atol=1e-3)
+
+
+def test_bf16_compute_close_to_f32():
+    """cfg.dtype='bfloat16' runs target nets in bf16 (reference --amp autocast
+    semantics) with f32 norm statistics; logits stay close to the f32 path and
+    the program still dispatches every branch family."""
+    import dataclasses
+    net_args = CASES['mixed']
+    net = Network(num_classes=10, is_imagenet_input=False, **net_args)
+    graph = net.graph_def()
+    graph.net_args = dict(net_args)
+    batch = GraphBatch.from_graphs([graph])
+    vocab = itp.vocab_from_genotypes([net_args['genotype']])
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(rng.normal(size=(2, 3, 32, 32)).astype(np.float32))
+
+    outs = {}
+    for dt in ('float32', 'bfloat16'):
+        cfg = dataclasses.replace(CFG, dtype=dt)
+        bucket, arch = itp.encode_arch(graph, num_classes=10,
+                                       is_imagenet_input=False, cfg=cfg,
+                                       vocab=vocab)
+        plan = build_plan(batch, [net.param_table()], cfg)
+        x = forward_embeddings(PARAMS, cfg, batch, plan.shape_ind)
+        x0 = x.reshape(1, batch.n_pad, -1)[0]
+        arch_j = {k: jnp.asarray(v) for k, v in arch.items() if k != 'shape_ind'}
+        logits, _ = itp.interpret_forward(PARAMS, cfg, bucket, x0, arch_j, images)
+        assert logits.dtype == jnp.float32   # classifier stays f32
+        outs[dt] = np.asarray(logits)
+    assert np.isfinite(outs['bfloat16']).all()
+    np.testing.assert_allclose(outs['bfloat16'], outs['float32'],
+                               atol=0.05, rtol=0.1)

@@ -32,6 +32,9 @@ def main():
     ap.add_argument('--imsize', type=int, default=32)
     ap.add_argument('--n-cells', type=int, default=4)
     ap.add_argument('--widths', type=int, nargs='+', default=[32])
+    ap.add_argument('--bf16', action='store_true',
+                    help='bfloat16 compute for the graphormer AND target nets '
+                         '(the reference --amp recipe)')
     ap.add_argument('--platform', default=None)
     args = ap.parse_args()
 
@@ -56,7 +59,8 @@ def main():
                                                normal_concat=[2], reduce=[],
                                                reduce_concat=[])])
     cfg = GHNConfig(hid=args.hid, heads=8 if args.hid % 8 == 0 else 4,
-                    layers=args.layers, max_shape=(64, 64, 11, 11), num_classes=10)
+                    layers=args.layers, max_shape=(64, 64, 11, 11), num_classes=10,
+                    dtype='bfloat16' if args.bf16 else 'float32')
 
     rng = np.random.default_rng(0)
     need = args.steps * args.meta_bs
