@@ -144,8 +144,8 @@ def meta_train_detail():
     import tools.bench_train as bt
     argv = sys.argv
     sys.argv = ['bench_train.py', '--steps', '36', '--warmup', '6',
-                '--meta-bs', '4', '--batch', '64', '--hid', '64',
-                '--layers', '3', '--n-cells', '4', '--widths', '32']
+                '--meta-bs', '8', '--batch', '128', '--hid', '64',
+                '--layers', '3', '--n-cells', '4', '--widths', '32', '--bf16']
     try:
         import io
         import contextlib

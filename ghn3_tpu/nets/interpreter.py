@@ -366,7 +366,10 @@ class _Fetcher:
 
 
 # ---------------------------------------------------------------------------
-# Primitive apply helpers (match nets/functional.py semantics)
+# Primitive apply helpers. Internal layout is NHWC: channels ride the 128-lane
+# axis of the TPU (CIFAR-sized W in NCHW wastes up to 4x on lane padding).
+# Numerics equal the NCHW nets/functional.py path (tests/test_interpreter.py);
+# decoded weights stay OIHW (XLA transposes once inside the conv).
 # ---------------------------------------------------------------------------
 
 def _conv(x, w, stride=1, padding=0, dilation=1, groups=1):
@@ -376,16 +379,16 @@ def _conv(x, w, stride=1, padding=0, dilation=1, groups=1):
     d = (dilation, dilation) if isinstance(dilation, int) else dilation
     return jax.lax.conv_general_dilated(
         x, w, window_strides=s, padding=p, rhs_dilation=d,
-        feature_group_count=groups, dimension_numbers=('NCHW', 'OIHW', 'NCHW'))
+        feature_group_count=groups, dimension_numbers=('NHWC', 'OIHW', 'NHWC'))
 
 
 def _bn(x, w, b, eps=1e-5):
     # norm statistics in f32 even under bf16 compute (torch-AMP semantics)
     xf = x.astype(jnp.float32)
-    mu = xf.mean(axis=(0, 2, 3), keepdims=True)
-    var = ((xf - mu) ** 2).mean(axis=(0, 2, 3), keepdims=True)
+    mu = xf.mean(axis=(0, 1, 2), keepdims=True)
+    var = ((xf - mu) ** 2).mean(axis=(0, 1, 2), keepdims=True)
     y = (xf - mu) * jax.lax.rsqrt(var + eps)
-    y = y * w[None, :, None, None] + b[None, :, None, None]
+    y = y * w[None, None, None, :] + b[None, None, None, :]
     return y.astype(x.dtype)
 
 
@@ -397,26 +400,26 @@ def _ln(x, w, b, eps=1e-5):
 
 
 def _pool_counts(h: int, w: int, stride: int) -> np.ndarray:
-    """Static count_include_pad=False divisor for a 3x3/pad-1 window."""
-    ones = np.ones((1, 1, h, w), np.float32)
+    """Static count_include_pad=False divisor for a 3x3/pad-1 window (NHWC)."""
+    ones = np.ones((h, w), np.float32)
     out_h, out_w = _conv_out(h, 3, stride, 1), _conv_out(w, 3, stride, 1)
-    counts = np.zeros((1, 1, out_h, out_w), np.float32)
-    padded = np.pad(ones, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    counts = np.zeros((1, out_h, out_w, 1), np.float32)
+    padded = np.pad(ones, ((1, 1), (1, 1)))
     for i in range(out_h):
         for j in range(out_w):
-            counts[0, 0, i, j] = padded[0, 0, i * stride:i * stride + 3,
+            counts[0, i, j, 0] = padded[i * stride:i * stride + 3,
                                         j * stride:j * stride + 3].sum()
     return counts
 
 
 def _pool(x, kind, stride):
-    dims, strides = (1, 1, 3, 3), (1, 1, stride, stride)
-    pads = ((0, 0), (0, 0), (1, 1), (1, 1))
+    dims, strides = (1, 3, 3, 1), (1, stride, stride, 1)
+    pads = ((0, 0), (1, 1), (1, 1), (0, 0))
     if kind == 'max':
         return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, dims, strides, pads)
     summed = jax.lax.reduce_window(x, x.dtype.type(0), jax.lax.add, dims, strides, pads)
     # count_include_pad=False (OPS avg_pool, ops.py:336); divisor is static
-    return summed / jnp.asarray(_pool_counts(x.shape[2], x.shape[3], stride), x.dtype)
+    return summed / jnp.asarray(_pool_counts(x.shape[1], x.shape[2], stride), x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -437,7 +440,7 @@ def _make_branch(fe: _Fetcher, base: str, k: int, strided: bool, c: int,
     def branch(x_hi, x_lo, node_ids):
         x = x_hi if strided else x_lo
         if base == 'none':
-            y = (x[:, :, ::2, ::2] if strided else x) * 0.0
+            y = (x[:, ::2, ::2, :] if strided else x) * 0.0
             return y, jnp.float32(0.0)
         if base == 'skip_connect':
             if not strided:
@@ -445,8 +448,8 @@ def _make_branch(fe: _Fetcher, base: str, k: int, strided: bool, c: int,
             t, f = fe.fetch_specs(node_ids, specs)
             xr = jax.nn.relu(x)
             y1 = _conv(xr, t[0], stride=2)
-            y2 = _conv(xr[:, :, 1:, 1:], t[1], stride=2)
-            y = jnp.concatenate([y1, y2], axis=1)
+            y2 = _conv(xr[:, 1:, 1:, :], t[1], stride=2)
+            y = jnp.concatenate([y1, y2], axis=-1)
             return maybe_bn(y, t, 2), f
         if base in ('avg_pool', 'max_pool'):
             return _pool(x, base[:3], stride), jnp.float32(0.0)
@@ -477,16 +480,16 @@ def _make_branch(fe: _Fetcher, base: str, k: int, strided: bool, c: int,
             y = _conv(y, t[1])
             return maybe_bn(y, t, 2), f
         if base == 'cse':
-            s = x.mean(axis=(2, 3))
+            s = x.mean(axis=(1, 2))
             s = s @ t[0].T + t[1]
             s = jax.nn.relu(s) @ t[2].T + t[3]
             s = jax.nn.hard_swish(s)
-            y = x * s[:, :, None, None]
-            return (y[:, :, ::2, ::2] if strided else y), f
+            y = x * s[:, None, None, :]
+            return (y[:, ::2, ::2, :] if strided else y), f
         if base == 'msa':
             # TransformerLayer (nets/darts.py:127-184): pre-LN attn + FF, mlp_ratio 1
-            bsz, ch, hh, ww = x.shape
-            tok = x.reshape(bsz, ch, hh * ww).transpose(0, 2, 1)
+            bsz, hh, ww, ch = x.shape
+            tok = x.reshape(bsz, hh * ww, ch)
             ln1w, ln1b, qkv, outw, outb, ln2w, ln2b, f0w, f0b, f3w, f3b = t
             yn = _ln(tok, ln1w, ln1b)
             n = hh * ww
@@ -499,8 +502,8 @@ def _make_branch(fe: _Fetcher, base: str, k: int, strided: bool, c: int,
             yn = _ln(tok, ln2w, ln2b)
             ff = jax.nn.gelu(yn @ f0w.T + f0b, approximate=False) @ f3w.T + f3b
             tok = tok + ff
-            y = tok.transpose(0, 2, 1).reshape(bsz, ch, hh, ww)
-            return (y[:, :, ::2, ::2] if strided else y), f
+            y = tok.reshape(bsz, hh, ww, ch)
+            return (y[:, ::2, ::2, :] if strided else y), f
         raise NotImplementedError(base)
 
     return branch
@@ -540,7 +543,7 @@ def _factorized_reduce(fe: _Fetcher, x, node_ids, c_in: int, c_out: int, has_nor
     w2, f2 = fe.w(node_ids[1], (c_out // 2, c_in, 1, 1))
     xr = jax.nn.relu(x)
     y = jnp.concatenate([_conv(xr, w1, stride=2),
-                         _conv(xr[:, :, 1:, 1:], w2, stride=2)], axis=1)
+                         _conv(xr[:, 1:, 1:, :], w2, stride=2)], axis=-1)
     f = f1 + f2
     if has_norm:
         bw, bb, f3 = fe.pair(node_ids[2], (c_out,))
@@ -550,15 +553,17 @@ def _factorized_reduce(fe: _Fetcher, x, node_ids, c_in: int, c_out: int, has_nor
 
 
 def _run_stem(fe: _Fetcher, bucket: ArchBucket, stem_nodes, images):
-    """Returns (s0, s1, predwd)."""
+    """images arrive NCHW (the public layout); everything after is NHWC.
+    Returns (s0, s1, predwd)."""
     b = bucket
+    images = images.transpose(0, 2, 3, 1)
     if b.is_vit:
         patch = 16 if b.is_imagenet_input else 3
         w, f1 = fe.w(stem_nodes[0], (b.C, 3, patch, patch))
         y = _conv(images, w, stride=patch, padding=int(patch < 4))
         pe_k = 14 if b.is_imagenet_input else 11
         pe, f2 = fe.w(stem_nodes[1], (1, b.C, pe_k, pe_k))
-        y = y + pe
+        y = y + pe.transpose(0, 2, 3, 1)
         return y, y, f1 + f2
     if b.stem_type == 0:
         c_stem = int(b.C * (3 if (b.preproc and not b.is_imagenet_input) else 1))
@@ -617,7 +622,7 @@ def _run_cell(fe: _Fetcher, bucket: ArchBucket, geom: CellGeom, arch, s0, s1):
         p1, f = _relu_conv_bn_1x1(fe, s1, pre[3:5], geom.c_prev, geom.c, bucket.has_norm)
         predwd = predwd + f
     else:
-        p0 = s0[:, :, ::2, ::2] if (geom.reduction_prev and not vit) else s0
+        p0 = s0[:, ::2, ::2, :] if (geom.reduction_prev and not vit) else s0
         p1 = s1
 
     normal_tbl, reduce_tbl = _branch_tables(fe, bucket, geom.c)
@@ -630,8 +635,8 @@ def _run_cell(fe: _Fetcher, bucket: ArchBucket, geom: CellGeom, arch, s0, s1):
     red_spatial = geom.reduction and not vit
 
     if red_spatial:
-        hi = jnp.stack([p0, p1])                                   # (2, B, C, H, W)
-        lo0 = jnp.zeros((geom.steps, bsz, geom.c, geom.h_out, geom.h_out), p0.dtype)
+        hi = jnp.stack([p0, p1])                                   # (2, B, H, W, C)
+        lo0 = jnp.zeros((geom.steps, bsz, geom.h_out, geom.h_out, geom.c), p0.dtype)
 
         def body(carry, xs):
             lo, acc = carry
@@ -655,7 +660,7 @@ def _run_cell(fe: _Fetcher, bucket: ArchBucket, geom: CellGeom, arch, s0, s1):
         cat = jnp.take(lo, jnp.clip(arch['concat'][ci, :geom.mult] - 2, 0,
                                     geom.steps - 1), axis=0)
     else:
-        bank0 = jnp.zeros((geom.steps + 2, bsz, geom.c, geom.h_in, geom.h_in), p0.dtype)
+        bank0 = jnp.zeros((geom.steps + 2, bsz, geom.h_in, geom.h_in, geom.c), p0.dtype)
         bank0 = bank0.at[0].set(p0).at[1].set(p1)
 
         def body(carry, xs):
@@ -678,9 +683,9 @@ def _run_cell(fe: _Fetcher, bucket: ArchBucket, geom: CellGeom, arch, s0, s1):
         cat = jnp.take(bank, jnp.clip(arch['concat'][ci, :geom.mult], 0,
                                       geom.steps + 1), axis=0)
 
-    # (mult, B, C, H, W) -> channel concat in concat-index order
-    out = cat.transpose(1, 0, 2, 3, 4).reshape(bsz, geom.mult * geom.c,
-                                               cat.shape[-2], cat.shape[-1])
+    # (mult, B, H, W, C) -> channel concat in concat-index order
+    out = cat.transpose(1, 2, 3, 0, 4).reshape(bsz, cat.shape[2], cat.shape[3],
+                                               geom.mult * geom.c)
     return out, predwd
 
 
@@ -705,7 +710,11 @@ def interpret_forward(params, cfg: GHNConfig, bucket: ArchBucket,
         predwd = predwd + f
         s0, s1 = s1, out
 
-    x = s1.mean(axis=(2, 3)) if bucket.glob_avg else s1.reshape(s1.shape[0], -1)
+    if bucket.glob_avg:
+        x = s1.mean(axis=(1, 2))
+    else:
+        # flatten in NCHW order (the classifier weight layout the GHN predicts)
+        x = s1.transpose(0, 3, 1, 2).reshape(s1.shape[0], -1)
     x = x.astype(jnp.float32)
 
     feat = head_features(bucket, geoms)
