@@ -149,6 +149,7 @@ class Trainer:
                  mesh=None,
                  seed: int = 0,
                  checkpoint_backend: str = 'npz',   # 'npz' | 'orbax'
+                 interp_vmap: bool = False,
                  verbose: bool = False):
         assert (ghn is None) != (model is None), 'pass exactly one of ghn / model'
         self.ghn = ghn
@@ -173,6 +174,7 @@ class Trainer:
         self.mixup_rng = np.random.default_rng(seed) if mixup_fn else None
         self.log_interval = log_interval
         self.mesh = mesh
+        self.interp_vmap = interp_vmap
         self.verbose = verbose
         self.save_dir = save_dir
         self.checkpoint_backend = checkpoint_backend
@@ -310,20 +312,32 @@ class Trainer:
         def net_fwd(p, x_b, arch_b, images):
             return interpret_forward(p, cfg, bucket, x_b, arch_b, images)
 
+        # vmap executes every lax.switch branch and selects (x|vocab| FLOPs but
+        # one big batched op per slot instead of B_meta small sequential ones);
+        # scan matches the reference's sequential per-net loop (trainer.py:308).
+        vmap_nets = self.interp_vmap
+
         def step(params, opt_state, node_op, adj, shape_ind, mask, levels,
                  arch, images, labels):
             def loss_fn(p):
                 x = ghn_forward(p, cfg, node_op, adj, shape_ind, mask,
                                 levels=levels)   # (B, N, hid)
 
-                def per_net(carry, xs):
-                    x_b, arch_b = xs
-                    logits, predwd = net_fwd(p, x_b, arch_b, images)
-                    return carry, (logits, self._loss_from_logits(logits, labels),
-                                   predwd)
+                if vmap_nets:
+                    logits_all, predwds = jax.vmap(
+                        lambda x_b, arch_b: net_fwd(p, x_b, arch_b, images))(x, arch)
+                    losses = jax.vmap(
+                        lambda lg: self._loss_from_logits(lg, labels))(logits_all)
+                else:
+                    def per_net(carry, xs):
+                        x_b, arch_b = xs
+                        logits, predwd = net_fwd(p, x_b, arch_b, images)
+                        return carry, (logits,
+                                       self._loss_from_logits(logits, labels),
+                                       predwd)
 
-                _, (logits_all, losses, predwds) = jax.lax.scan(
-                    per_net, jnp.float32(0.0), (x, arch))
+                    _, (logits_all, losses, predwds) = jax.lax.scan(
+                        per_net, jnp.float32(0.0), (x, arch))
                 loss = losses.mean()
                 loss_predwd = predparam_wd * predwds.sum() if predparam_wd > 0 else 0.0
                 return loss + loss_predwd, (logits_all, loss, loss_predwd)

@@ -32,6 +32,11 @@ def main():
     ap.add_argument('--imsize', type=int, default=32)
     ap.add_argument('--n-cells', type=int, default=4)
     ap.add_argument('--widths', type=int, nargs='+', default=[32])
+    ap.add_argument('--vmap-nets', action='store_true',
+                    help='vmap over the meta-batch instead of scanning: every '
+                         'switch branch is computed + selected. Measured: OOMs '
+                         'at meta-bs 8/batch 128 on one v5e (all-branch '
+                         'activations); viable only at small scale / more HBM')
     ap.add_argument('--bf16', action='store_true',
                     help='bfloat16 compute for the graphormer AND target nets '
                          '(the reference --amp recipe)')
@@ -96,7 +101,8 @@ def main():
     trainer = Trainer(ghn=_Hyper(cfg, params), opt='adamw',
                       opt_args={'lr': 4e-4, 'weight_decay': 1e-2},
                       n_batches=args.steps, predparam_wd=3e-5,
-                      label_smoothing=0.1, log_interval=10 ** 9)
+                      label_smoothing=0.1, log_interval=10 ** 9,
+                      interp_vmap=args.vmap_nets)
 
     img_rng = np.random.default_rng(1)
     images = img_rng.normal(size=(args.batch, 3, args.imsize, args.imsize)) \
