@@ -282,22 +282,34 @@ def ghn_forward(params: Params, cfg: GHNConfig,
 # Decoders (reference ConvDecoder3 nn.py:716-762, decoder_1d/bias_class nn.py:287-295)
 # ---------------------------------------------------------------------------
 
+def decode_conv_fc(params: Params, cfg: GHNConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """Shared first decode stage: (G, hid) -> (G, hid4, s, s) spatial maps.
+    Split out so callers with many small groups (the genotype interpreter) can
+    run it ONCE over all nodes as one MXU-sized matmul and feed the per-node
+    tails via :func:`decode_conv` ``z=``."""
+    g = x.shape[0]
+    z = x @ params['decoder.fc.0.weight'].T + params['decoder.fc.0.bias']
+    return jax.nn.relu(z).reshape(g, cfg.hid * 4, cfg.spatial, cfg.spatial)
+
+
 def decode_conv(params: Params, cfg: GHNConfig, x: jnp.ndarray,
-                target_sz: Tuple[int, int, int, int], class_pred: bool) -> jnp.ndarray:
+                target_sz: Tuple[int, int, int, int], class_pred: bool,
+                z: jnp.ndarray = None) -> jnp.ndarray:
     """Group decode of 2d/4d tensors.
 
-    :param x: (G, hid) node embeddings of one shape-key group.
+    :param x: (G, hid) node embeddings of one shape-key group (ignored when a
+        precomputed ``z`` from :func:`decode_conv_fc` is given).
     :param target_sz: the canonical decode shape key (out, in, kh, kw).
     :return: (G, out, in, kh', kw') weights (kh' = min(kh, s)), or
              (G, num_classes, in) when ``class_pred``.
     """
-    g = x.shape[0]
     s = cfg.spatial
     hid4 = cfg.hid * 4
     co, ci, kh, kw = target_sz
 
-    z = x @ params['decoder.fc.0.weight'].T + params['decoder.fc.0.bias']
-    z = jax.nn.relu(z).reshape(g, hid4, s, s)
+    if z is None:
+        z = decode_conv_fc(params, cfg, x)
+    g = z.shape[0]
 
     if cfg.is_ghn2:
         z = z[:, :, :kh, :kw]      # GHN-2: corner crop (nn.py:739-740)

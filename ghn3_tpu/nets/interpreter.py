@@ -291,6 +291,14 @@ class _Fetcher:
         self.x_flat = x_flat
         self.weight_norm = weight_norm
         self.compute_dtype = jnp.dtype(cfg.dtype)
+        # shared decode stages hoisted over ALL nodes: one MXU-sized matmul each
+        # instead of a per-slot matvec inside every branch (same numerics —
+        # rows of a batched matmul)
+        from ..models.ghn_core import decode_1d, decode_conv_fc
+        with jax.default_matmul_precision(
+                'highest' if cfg.dtype == 'float32' else 'default'):
+            self.z_fc = decode_conv_fc(params, cfg, x_flat)   # (N, hid4, s, s)
+            self.z_1d = decode_1d(params, x_flat)             # (N, 2*max_ch)
 
     def cast(self, w):
         return w.astype(self.compute_dtype)
@@ -298,11 +306,18 @@ class _Fetcher:
     def _emb(self, node_id):
         return jax.lax.dynamic_index_in_dim(self.x_flat, node_id, axis=0, keepdims=True)
 
+    def _zfc(self, node_id):
+        return jax.lax.dynamic_index_in_dim(self.z_fc, node_id, axis=0, keepdims=True)
+
+    def _z1d(self, node_id):
+        return jax.lax.dynamic_index_in_dim(self.z_1d, node_id, axis=0,
+                                            keepdims=False).reshape(2, -1)
+
     def w(self, node_id, sz: Tuple[int, ...]):
         """4d/2d weight: conv decode -> tile -> fan-in normalize. Returns (w, frob)."""
         from ..predict import decode_group
         key = decode_key(sz, self.cfg.max_shape, False, False)
-        w = decode_group(self.params, self.cfg, key, self._emb(node_id))[0]
+        w = decode_group(self.params, self.cfg, key, None, z=self._zfc(node_id))[0]
         w = tile_params(w, sz)
         if self.weight_norm:
             w = normalize_params(w, True)
@@ -310,8 +325,7 @@ class _Fetcher:
 
     def pair(self, node_id, sz: Tuple[int, ...]):
         """Norm weight/bias channel pair from one node (rows 0/1 of decode_1d)."""
-        from ..models.ghn_core import decode_1d
-        z = decode_1d(self.params, self._emb(node_id)).reshape(2, -1)
+        z = self._z1d(node_id)
         w = tile_params(z[0], sz)
         b = tile_params(z[1], sz)
         if self.weight_norm:
@@ -320,8 +334,7 @@ class _Fetcher:
         return w, b, _frob(w) + _frob(b)
 
     def bias(self, node_id, sz: Tuple[int, ...]):
-        from ..models.ghn_core import decode_1d
-        z = decode_1d(self.params, self._emb(node_id)).reshape(2, -1)
+        z = self._z1d(node_id)
         b = tile_params(z[1], sz)
         if self.weight_norm:
             b = normalize_params(b, False)
@@ -331,16 +344,15 @@ class _Fetcher:
         """Final classification weight (class_layer_predictor head)."""
         from ..predict import decode_group
         key = decode_key(sz, self.cfg.max_shape, True, False)
-        w = decode_group(self.params, self.cfg, key, self._emb(node_id))[0]
+        w = decode_group(self.params, self.cfg, key, None, z=self._zfc(node_id))[0]
         w = tile_params(w, sz)
         if self.weight_norm:
             w = normalize_params(w, True)
         return w, _frob(w)
 
     def cls_b(self, node_id, sz: Tuple[int]):
-        from ..predict import decode_group
-        key = decode_key(sz, self.cfg.max_shape, False, True)
-        b = decode_group(self.params, self.cfg, key, self._emb(node_id))[0][1]
+        from ..models.ghn_core import decode_bias_class
+        b = decode_bias_class(self.params, self._z1d(node_id)[None])[0][1]
         b = tile_params(b, sz)
         if self.weight_norm:
             b = normalize_params(b, False)

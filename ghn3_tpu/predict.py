@@ -165,11 +165,13 @@ def _group_bucket(g: int) -> int:
     return 1 << max(0, int(np.ceil(np.log2(max(1, g)))))
 
 
-def decode_group(params, cfg: GHNConfig, key: Tuple[int, ...], x_g):
-    """Decode one shape-key group (traceable)."""
+def decode_group(params, cfg: GHNConfig, key: Tuple[int, ...], x_g, z=None):
+    """Decode one shape-key group (traceable). ``z`` optionally supplies the
+    precomputed shared fc stage (ghn_core.decode_conv_fc) for the conv paths."""
     with jax.default_matmul_precision(_precision(cfg)):
         if len(key) == 2 and key[1] > 0:      # classification weight
-            return ghn_core.decode_conv(params, cfg, x_g, (key[0], key[1], 1, 1), class_pred=True)
+            return ghn_core.decode_conv(params, cfg, x_g, (key[0], key[1], 1, 1),
+                                        class_pred=True, z=z)
         if len(key) == 2 and key[1] < 0:      # classification bias
             w = ghn_core.decode_1d(params, x_g).reshape(x_g.shape[0], 2, -1)
             return ghn_core.decode_bias_class(params, w)
@@ -177,7 +179,7 @@ def decode_group(params, cfg: GHNConfig, key: Tuple[int, ...], x_g):
             return ghn_core.decode_1d(params, x_g).reshape(x_g.shape[0], 2, -1)
         if len(key) == 3:                     # 3d (e.g. layer_scale)
             return ghn_core.decode_1d(params, x_g).reshape(x_g.shape[0], -1, 1, 1)
-        return ghn_core.decode_conv(params, cfg, x_g, key, class_pred=False)
+        return ghn_core.decode_conv(params, cfg, x_g, key, class_pred=False, z=z)
 
 
 @functools.lru_cache(maxsize=None)
