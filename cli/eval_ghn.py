@@ -77,7 +77,7 @@ def main():
     data = None
     try:
         data = image_loader(args.dataset, args.data_dir, imsize=args.imsize, split='val',
-                            noise=args.noise)
+                            noise=args.noise, crop_pct=args.crop_pct)
     except (FileNotFoundError, NotImplementedError) as e:
         log(f'no eval data available ({e}); running norm checks only')
 

@@ -35,7 +35,8 @@ def main():
     data_file = np.load(args.ckpt, allow_pickle=True)
     params = {k: jnp.asarray(data_file[k]) for k in data_file.files
               if not k.startswith('__')}
-    data = image_loader(args.dataset, args.data_dir, imsize=args.imsize, split='val')
+    data = image_loader(args.dataset, args.data_dir, imsize=args.imsize, split='val',
+                        crop_pct=args.crop_pct)
     top1, top5 = infer(model, params, data, batch_size=args.val_batch_size)
     log(f'{args.arch}: top1={top1:.3f} top5={top5:.3f}')
 

@@ -77,13 +77,15 @@ def build_interp_stream(args, cfg):
                         large_images=is_imagenet, seed=args.seed, attach_net=False)
         sampler = NodeBudgetSampler(ds, meta_batch_size=args.meta_batch_size,
                                     seed=args.seed)
+        vocab = ds.interpreter_vocab()   # one scan over the stored genotypes
         log(f'interpreter executor: streaming DeepNets-1M ({len(ds)} nets), '
-            f'vocab={ds.interpreter_vocab()}')
+            f'vocab={vocab}')
         return stream_interp_batches(ds, sampler, cfg, args.meta_batch_size,
                                      num_classes=args.num_classes,
                                      is_imagenet_input=is_imagenet,
                                      patience=args.bucket_patience,
-                                     vocab=ds.interpreter_vocab())
+                                     vocab=vocab,
+                                     input_size=args.imsize or 0)
 
     from ghn3_tpu.nets.interpreter import vocab_from_primitives
     vocab = vocab_from_primitives(SYNTH_OPS)
@@ -91,12 +93,14 @@ def build_interp_stream(args, cfg):
     def gen():
         queue = BucketQueue(args.meta_batch_size, num_classes=args.num_classes,
                             is_imagenet_input=is_imagenet,
-                            patience=args.bucket_patience, vocab=vocab)
+                            patience=args.bucket_patience, vocab=vocab,
+                            input_size=args.imsize or 0)
         for g in synthetic_genotype_stream(args):
             group = queue.push(g)
             if group is not None:
                 yield build_interp_batch(cfg, group, num_classes=args.num_classes,
-                                         is_imagenet_input=is_imagenet, vocab=vocab)
+                                         is_imagenet_input=is_imagenet, vocab=vocab,
+                                         input_size=args.imsize or 0)
     log('interpreter executor: synthetic genotype stream '
         f'(DeepNets-1M files not found at {args.nets_dir})')
     return gen()
@@ -142,9 +146,7 @@ def main():
     s = 16 if args.dataset == 'imagenet' else 11
     # GHN-2 recipe (reference train_ghn_ddp.py:57-82): GatedGNN hypernetwork,
     # doubled default max_shape, no predicted-param regularization
-    max_shape = args.max_shape
-    if args.ghn2 and max_shape == 64:
-        max_shape = args.hid * 2
+    max_shape = args.max_shape or (args.hid * 2 if args.ghn2 else 64)
     if args.ghn2:
         args.predparam_wd = 0.0
     cfg = GHNConfig(hid=args.hid, heads=args.heads, layers=args.layers,

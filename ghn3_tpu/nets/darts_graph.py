@@ -208,10 +208,12 @@ def build_genotype_graph(genotype: Genotype, C: int, num_classes: int, n_cells: 
         src = b.node('conv', 'stem0.0.weight', (C // 2, 3, ks, ks), (inp,))
         if has_norm:
             src = b.node('bn', 'stem0.1.weight', (C // 2,), (src,))
-        i = 3 if has_norm else 2  # module index of the second conv
-        src = b.node('conv', f'stem0.{i}.weight', (C, C // 2, 3, 3), (src,))
+        # module indices are constant: bn_layer occupies a Sequential slot even
+        # when norm is None (Identity) — second conv is always stem0.3 (matches
+        # the published dataset naming, reference deepnets1m.py:178 'stem0.3')
+        src = b.node('conv', 'stem0.3.weight', (C, C // 2, 3, 3), (src,))
         if has_norm:
-            src = b.node('bn', f'stem0.{i + 1}.weight', (C,), (src,))
+            src = b.node('bn', 'stem0.4.weight', (C,), (src,))
         s0 = src
         j = 1
         src = b.node('conv', f'stem1.{j}.weight', (C, C, 3, 3), (s0,))

@@ -112,7 +112,12 @@ class ArchBucket:
     num_classes: int
     is_imagenet_input: bool
     imagenet_stride: int
+    input_size: int = 0        # 0 = default (224 imagenet / 32 otherwise)
     vocab: Tuple[Tuple[str, int], ...] = DEFAULT_VOCAB
+
+    @property
+    def image_size(self) -> int:
+        return self.input_size or (224 if self.is_imagenet_input else 32)
 
     @property
     def is_vit(self) -> bool:
@@ -148,7 +153,7 @@ class CellGeom:
 
 
 def stem_resolution(b: ArchBucket) -> int:
-    s = 224 if b.is_imagenet_input else 32
+    s = b.image_size
     if b.is_vit:
         patch = 16 if b.is_imagenet_input else 3
         return _conv_out(s, patch, patch, int(patch < 4))
@@ -318,7 +323,7 @@ class _Fetcher:
         from ..predict import decode_group
         key = decode_key(sz, self.cfg.max_shape, False, False)
         w = decode_group(self.params, self.cfg, key, None, z=self._zfc(node_id))[0]
-        w = tile_params(w, sz)
+        w = tile_params(w, sz, corner=self.cfg.is_ghn2)
         if self.weight_norm:
             w = normalize_params(w, True)
         return self.cast(w), _frob(w)
@@ -345,7 +350,7 @@ class _Fetcher:
         from ..predict import decode_group
         key = decode_key(sz, self.cfg.max_shape, True, False)
         w = decode_group(self.params, self.cfg, key, None, z=self._zfc(node_id))[0]
-        w = tile_params(w, sz)
+        w = tile_params(w, sz, corner=self.cfg.is_ghn2)
         if self.weight_norm:
             w = normalize_params(w, True)
         return w, _frob(w)
@@ -411,27 +416,29 @@ def _ln(x, w, b, eps=1e-5):
     return ((xf - mu) * jax.lax.rsqrt(var + eps) * w + b).astype(x.dtype)
 
 
-def _pool_counts(h: int, w: int, stride: int) -> np.ndarray:
-    """Static count_include_pad=False divisor for a 3x3/pad-1 window (NHWC)."""
+def _pool_counts(h: int, w: int, stride: int, k: int = 3) -> np.ndarray:
+    """Static count_include_pad=False divisor for a kxk/pad-k//2 window (NHWC)."""
+    pad = k // 2
     ones = np.ones((h, w), np.float32)
-    out_h, out_w = _conv_out(h, 3, stride, 1), _conv_out(w, 3, stride, 1)
+    out_h, out_w = _conv_out(h, k, stride, pad), _conv_out(w, k, stride, pad)
     counts = np.zeros((1, out_h, out_w, 1), np.float32)
-    padded = np.pad(ones, ((1, 1), (1, 1)))
+    padded = np.pad(ones, ((pad, pad), (pad, pad)))
     for i in range(out_h):
         for j in range(out_w):
-            counts[0, i, j, 0] = padded[i * stride:i * stride + 3,
-                                        j * stride:j * stride + 3].sum()
+            counts[0, i, j, 0] = padded[i * stride:i * stride + k,
+                                        j * stride:j * stride + k].sum()
     return counts
 
 
-def _pool(x, kind, stride):
-    dims, strides = (1, 3, 3, 1), (1, stride, stride, 1)
-    pads = ((0, 0), (1, 1), (1, 1), (0, 0))
+def _pool(x, kind, stride, k: int = 3):
+    pad = k // 2
+    dims, strides = (1, k, k, 1), (1, stride, stride, 1)
+    pads = ((0, 0), (pad, pad), (pad, pad), (0, 0))
     if kind == 'max':
         return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, dims, strides, pads)
     summed = jax.lax.reduce_window(x, x.dtype.type(0), jax.lax.add, dims, strides, pads)
     # count_include_pad=False (OPS avg_pool, ops.py:336); divisor is static
-    return summed / jnp.asarray(_pool_counts(x.shape[1], x.shape[2], stride), x.dtype)
+    return summed / jnp.asarray(_pool_counts(x.shape[1], x.shape[2], stride, k), x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -464,7 +471,7 @@ def _make_branch(fe: _Fetcher, base: str, k: int, strided: bool, c: int,
             y = jnp.concatenate([y1, y2], axis=-1)
             return maybe_bn(y, t, 2), f
         if base in ('avg_pool', 'max_pool'):
-            return _pool(x, base[:3], stride), jnp.float32(0.0)
+            return _pool(x, base[:3], stride, k), jnp.float32(0.0)
         t, f = fe.fetch_specs(node_ids, specs)
         if base == 'conv':
             y = _conv(jax.nn.relu(x), t[0], stride=stride, padding=k // 2)
@@ -757,7 +764,8 @@ class EncodeError(ValueError):
 
 
 def bucket_of(net_args: dict, num_classes: int, is_imagenet_input: bool,
-              vocab: Tuple[Tuple[str, int], ...] = DEFAULT_VOCAB) -> ArchBucket:
+              vocab: Tuple[Tuple[str, int], ...] = DEFAULT_VOCAB,
+              input_size: int = 0) -> ArchBucket:
     """Static bucket key from DeepNets-1M ``net_args`` (cheap; no graph needed)."""
     g: Genotype = net_args['genotype']
     is_vit = any(n[0] == 'msa' for n in g.normal + g.reduce)
@@ -778,6 +786,7 @@ def bucket_of(net_args: dict, num_classes: int, is_imagenet_input: bool,
         num_classes=int(num_classes),
         is_imagenet_input=bool(is_imagenet_input),
         imagenet_stride=int(net_args.get('imagenet_stride', 4)),
+        input_size=int(input_size),
         vocab=tuple(vocab))
 
 
@@ -792,6 +801,7 @@ def encode_arch(graph: GraphDef, num_classes: int = 10,
                 is_imagenet_input: bool = False,
                 vocab: Tuple[Tuple[str, int], ...] = DEFAULT_VOCAB,
                 cfg: Optional[GHNConfig] = None,
+                input_size: int = 0,
                 ) -> Tuple[ArchBucket, Dict[str, np.ndarray]]:
     """Genotype graph -> (bucket, arch-data arrays).
 
@@ -802,7 +812,12 @@ def encode_arch(graph: GraphDef, num_classes: int = 10,
     """
     net_args = graph.net_args
     assert net_args is not None and 'genotype' in net_args, 'genotype net_args required'
-    b = bucket_of(net_args, num_classes, is_imagenet_input, vocab)
+    b = bucket_of(net_args, num_classes, is_imagenet_input, vocab, input_size)
+    if not b.glob_avg and b.image_size not in (224, 32):
+        # flatten-head feature size is pinned by the fixed table shared with the
+        # reference Network (ops.py:497-500); nonstandard input sizes mismatch it
+        raise EncodeError(f'glob_avg=False nets require 224/32 inputs, '
+                          f'got {b.image_size}')
     geno: Genotype = net_args['genotype']
     geoms = cell_geometry(b)
 
@@ -848,9 +863,9 @@ def encode_arch(graph: GraphDef, num_classes: int = 10,
         if b.has_norm:
             arch['stem_nodes'][1] = node_for('stem.1.weight')
     else:
-        i = 3 if b.has_norm else 2
+        # Sequential indices are constant (bn slots hold Identity when norm=None)
         names = ['stem0.0.weight'] + (['stem0.1.weight'] if b.has_norm else ['']) \
-            + [f'stem0.{i}.weight'] + ([f'stem0.{i + 1}.weight'] if b.has_norm else ['']) \
+            + ['stem0.3.weight'] + (['stem0.4.weight'] if b.has_norm else ['']) \
             + ['stem1.1.weight'] + (['stem1.2.weight'] if b.has_norm else [''])
         for j, nm in enumerate(names):
             if nm:
@@ -972,13 +987,12 @@ def target_param_shapes(b: ArchBucket) -> Dict[str, Tuple[int, ...]]:
         if b.has_norm:
             put('stem.1.weight', (c_stem,))
     else:
-        i = 3 if b.has_norm else 2
         put('stem0.0.weight', (b.C // 2, 3, b.ks, b.ks))
         if b.has_norm:
             put('stem0.1.weight', (b.C // 2,))
-        put(f'stem0.{i}.weight', (b.C, b.C // 2, 3, 3))
+        put('stem0.3.weight', (b.C, b.C // 2, 3, 3))
         if b.has_norm:
-            put(f'stem0.{i + 1}.weight', (b.C,))
+            put('stem0.4.weight', (b.C,))
         put('stem1.1.weight', (b.C, b.C, 3, 3))
         if b.has_norm:
             put('stem1.2.weight', (b.C,))

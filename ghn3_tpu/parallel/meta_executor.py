@@ -44,12 +44,14 @@ class InterpMetaBatch:
 
 def build_interp_batch(cfg: GHNConfig, graphs: Sequence[GraphDef],
                        num_classes: int = 10, is_imagenet_input: bool = False,
-                       vocab=None, pad_to: Optional[int] = None) -> InterpMetaBatch:
+                       vocab=None, pad_to: Optional[int] = None,
+                       input_size: int = 0) -> InterpMetaBatch:
     """Encode + stack same-bucket graphs. Raises EncodeError on degenerate nets
     and ValueError if the graphs span more than one bucket."""
     kw = {} if vocab is None else {'vocab': tuple(vocab)}
     encoded = [encode_arch(g, num_classes=num_classes,
-                           is_imagenet_input=is_imagenet_input, cfg=cfg, **kw)
+                           is_imagenet_input=is_imagenet_input, cfg=cfg,
+                           input_size=input_size, **kw)
                for g in graphs]
     buckets = {b for b, _ in encoded}
     if len(buckets) != 1:
@@ -83,18 +85,20 @@ class BucketQueue:
 
     def __init__(self, meta_batch_size: int, num_classes: int = 10,
                  is_imagenet_input: bool = False, patience: int = 64,
-                 vocab=None):
+                 vocab=None, input_size: int = 0):
         self.meta_batch_size = meta_batch_size
         self.num_classes = num_classes
         self.is_imagenet_input = is_imagenet_input
         self.patience = patience
         self.vocab = vocab
+        self.input_size = input_size
         self._queues: Dict[ArchBucket, List[GraphDef]] = {}
         self._age: Dict[ArchBucket, int] = {}
 
     def _bucket(self, g: GraphDef) -> ArchBucket:
         kw = {} if self.vocab is None else {'vocab': tuple(self.vocab)}
-        return bucket_of(g.net_args, self.num_classes, self.is_imagenet_input, **kw)
+        return bucket_of(g.net_args, self.num_classes, self.is_imagenet_input,
+                         input_size=self.input_size, **kw)
 
     def push(self, g: GraphDef) -> Optional[List[GraphDef]]:
         b = self._bucket(g)
@@ -126,23 +130,28 @@ def stream_interp_batches(dataset, sampler, cfg: GHNConfig,
                           patience: int = 64,
                           vocab=None,
                           pad_buckets: Tuple[int, ...] = None,
+                          input_size: int = 0,
                           ) -> Iterator[InterpMetaBatch]:
     """dataset items (via sampler index batches) -> InterpMetaBatch stream.
 
     The NodeBudgetSampler's batches are flattened into a single architecture
-    stream and regrouped by bucket; the node budget still bounds every emitted
-    batch because per-bucket groups are no larger than the sampler's batches'
-    worst case.
+    stream and regrouped by bucket, so a regrouped batch could exceed the node
+    budget the sampler enforces; over-budget groups are REJECTED here exactly
+    like the sampler rejects its own over-budget batches (reference
+    NetBatchSamplerDDP.check_batch, deepnets1m.py:294-301).
     """
     queue = BucketQueue(meta_batch_size, num_classes=num_classes,
                         is_imagenet_input=is_imagenet_input, patience=patience,
-                        vocab=vocab)
+                        vocab=vocab, input_size=input_size)
+    budget = getattr(sampler, 'max_nodes_batch', None)
     for idx_batch in sampler:
         for idx in idx_batch:
             g = dataset[int(idx)]
             group = queue.push(g)
             if group is None:
                 continue
+            if budget is not None and sum(gg.n_nodes for gg in group) > budget:
+                continue     # reject over-budget regrouped batches (see docstring)
             pad_to = None
             if pad_buckets is not None:
                 n_max = max(gg.n_nodes for gg in group)
@@ -150,6 +159,7 @@ def stream_interp_batches(dataset, sampler, cfg: GHNConfig,
             try:
                 yield build_interp_batch(cfg, group, num_classes=num_classes,
                                          is_imagenet_input=is_imagenet_input,
-                                         vocab=vocab, pad_to=pad_to)
+                                         vocab=vocab, pad_to=pad_to,
+                                         input_size=input_size)
             except EncodeError:
                 continue     # degenerate sample slipped through; drop the group

@@ -42,6 +42,8 @@ def base_parser(mode: str) -> argparse.ArgumentParser:
                    help='virtual device count when --platform cpu')
     p.add_argument('--max_steps', type=int, default=None,
                    help='cap steps per epoch (smoke tests)')
+    p.add_argument('--crop_pct', type=float, default=0.875,
+                   help='eval center-crop ratio (0.95 for the A3 recipe)')
     p.add_argument('--profile', type=str, default=None,
                    help='write a jax.profiler trace to this directory')
 
@@ -51,7 +53,9 @@ def base_parser(mode: str) -> argparse.ArgumentParser:
         p.add_argument('--hid', type=int, default=64)
         p.add_argument('--layers', type=int, default=3)
         p.add_argument('--heads', type=int, default=8)
-        p.add_argument('--max_shape', type=int, default=64)
+        p.add_argument('--max_shape', type=int, default=None,
+                       help='decoder canonical channel size (default 64; '
+                            'hid*2 for --ghn2, matching the reference)')
         p.add_argument('--weight_norm', action='store_true')
         p.add_argument('--hypernet', type=str, default='graphormer')
         p.add_argument('--decoder', type=str, default='conv')
@@ -84,8 +88,6 @@ def base_parser(mode: str) -> argparse.ArgumentParser:
         p.add_argument('--mixup', action='store_true')
         p.add_argument('--aug', type=str, default=None,
                        help="RandAugment spec, e.g. 'rand-m6-mstd0.5' (A3 recipe)")
-        p.add_argument('--crop_pct', type=float, default=0.875,
-                       help='eval center-crop ratio (0.95 for the A3 recipe)')
         p.add_argument('--predparam_wd', type=float, default=0.0)
         p.add_argument('--interm_epoch', type=int, default=5)
         p.add_argument('--log_interval', type=int, default=100)

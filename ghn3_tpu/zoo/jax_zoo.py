@@ -48,12 +48,14 @@ class _BasicBlock(FModule):
 class _Bottleneck(FModule):
     expansion = 4
 
-    def __init__(self, cin, planes, stride=1, downsample=False, base_width=64):
+    def __init__(self, cin, planes, stride=1, downsample=False, base_width=64,
+                 groups=1):
         super().__init__()
-        w = int(planes * (base_width / 64.0))
+        w = int(planes * (base_width / 64.0)) * groups
         self.conv1 = Conv2d(cin, w, 1, bias=False)
         self.bn1 = BatchNorm2d(w)
-        self.conv2 = Conv2d(w, w, 3, stride=stride, padding=1, bias=False)
+        self.conv2 = Conv2d(w, w, 3, stride=stride, padding=1, groups=groups,
+                            bias=False)
         self.bn2 = BatchNorm2d(w)
         self.conv3 = Conv2d(w, planes * 4, 1, bias=False)
         self.bn3 = BatchNorm2d(planes * 4)
@@ -76,7 +78,8 @@ class _Bottleneck(FModule):
 
 
 class ResNetF(FModule):
-    def __init__(self, block: str, layers: Tuple[int, ...], width=64, num_classes=1000):
+    def __init__(self, block: str, layers: Tuple[int, ...], width=64,
+                 num_classes=1000, groups=1):
         super().__init__()
         blk = {'basic': _BasicBlock, 'bottleneck': _Bottleneck}[block]
         self._n_cells = 1
@@ -91,7 +94,8 @@ class ResNetF(FModule):
             for j in range(n):
                 stride = 2 if (j == 0 and li > 1) else 1
                 down = stride != 1 or inplanes != planes * blk.expansion
-                kw = {'base_width': width} if blk is _Bottleneck else {}
+                kw = {'base_width': width, 'groups': groups} \
+                    if blk is _Bottleneck else {}
                 stage.append(blk(inplanes, planes, stride, down, **kw))
                 inplanes = planes * blk.expansion
             self.add(f'layer{li}', stage)
@@ -195,7 +199,8 @@ class ViTF(FModule):
         x = self.stem0(P, x, prefix + 'stem0.', training)
         b, c, h, w = x.shape
         x = x.reshape(b, c, h * w).transpose(0, 2, 1)
-        x = x + self.pos_enc.p(P, prefix + 'pos_enc.', 'weight')[None]
+        # torch indexes the embedding by arange(n_tokens): slice, don't broadcast
+        x = x + self.pos_enc.p(P, prefix + 'pos_enc.', 'weight')[:h * w][None]
         x = self.blocks(P, x, prefix + 'blocks.', training)
         x = self.ln(P, x, prefix + 'ln.', training)
         return self.head(P, x.mean(axis=1), prefix + 'head.', training)
@@ -252,10 +257,11 @@ def alexnet_f(num_classes=1000, w=1.0):
     return _SeqNet(feats, (6, 6), cls, num_classes)
 
 
-def vgg11_f(num_classes=1000, w=1.0):
+def vgg11_f(num_classes=1000, w=1.0, depth=11):
+    from .torch_zoo import VGG_CFGS
     c = lambda v: max(1, int(v * w))
     layers, cin = [], 3
-    for v in (64, 'M', 128, 'M', 256, 256, 'M', 512, 512, 'M', 512, 512, 'M'):
+    for v in VGG_CFGS[depth]:
         if v == 'M':
             layers.append(MaxPool2d(2, stride=2))
         else:
@@ -267,10 +273,10 @@ def vgg11_f(num_classes=1000, w=1.0):
     return _SeqNet(Sequential(*layers), (7, 7), cls, num_classes)
 
 
-def vgg16_bn_f(num_classes=1000):
+def vgg16_bn_f(num_classes=1000, depth=16):
+    from .torch_zoo import VGG_CFGS
     layers, cin = [], 3
-    for v in (64, 64, 'M', 128, 128, 'M', 256, 256, 256, 'M', 512, 512, 512, 'M',
-              512, 512, 512, 'M'):
+    for v in VGG_CFGS[depth]:
         if v == 'M':
             layers.append(MaxPool2d(2, stride=2))
         else:
@@ -404,7 +410,7 @@ class _DenseBlock(FModule):
 
 
 class DenseNetF(_Target):
-    def __init__(self, num_classes=1000, growth=32):
+    def __init__(self, num_classes=1000, growth=32, block_config=(6, 12, 24, 16)):
         super().__init__()
         self.num_classes = num_classes
         self.expected_input_sz = 224
@@ -412,10 +418,10 @@ class DenseNetF(_Target):
         c = 64
         feats = [Conv2d(3, c, 7, stride=2, padding=3, bias=False),
                  BatchNorm2d(c), ReLU(), MaxPool2d(3, stride=2, padding=1)]
-        for i, n in enumerate((6, 12, 24, 16)):
+        for i, n in enumerate(block_config):
             feats.append(_DenseBlock(c, n, growth))
             c += n * growth
-            if i < 3:
+            if i < len(block_config) - 1:
                 feats.append(Sequential(BatchNorm2d(c), ReLU(),
                                         Conv2d(c, c // 2, 1, bias=False),
                                         AvgPool2d(2, stride=2)))
@@ -781,13 +787,14 @@ class _ShuffleUnit(FModule):
 
 
 class ShuffleNetV2F(_Target):
-    def __init__(self, num_classes=1000, w=1.0):
+    def __init__(self, num_classes=1000, w=1.0, variant='x1_0'):
         super().__init__()
+        from .torch_zoo import SHUFFLE_STAGES
         c = lambda v: max(4, int(v * w) // 2 * 2)
         self.num_classes = num_classes
         self.expected_input_sz = 224
         self.predicted: Dict[str, jnp.ndarray] = {}
-        stages_out = [c(24), c(116), c(232), c(464), c(1024)]
+        stages_out = [c(v) for v in SHUFFLE_STAGES[variant]]
         self.conv1 = Sequential(Conv2d(3, stages_out[0], 3, stride=2, padding=1, bias=False),
                                 BatchNorm2d(stages_out[0]), ReLU())
         self.maxpool = MaxPool2d(3, stride=2, padding=1)
@@ -1091,4 +1098,27 @@ JAX_ZOO = {
     'regnet_y_400mf': RegNetF,
     'efficientnet_v2_s_ish': EffNetV2F,
     'swin_t': SwinF,
+    'wide_resnet101_2': lambda num_classes=1000: ResNetF(
+        'bottleneck', (3, 4, 23, 3), width=128, num_classes=num_classes),
+    'resnext50_32x4d': lambda num_classes=1000: ResNetF(
+        'bottleneck', (3, 4, 6, 3), width=4, groups=32, num_classes=num_classes),
+    'resnext101_32x8d': lambda num_classes=1000: ResNetF(
+        'bottleneck', (3, 4, 23, 3), width=8, groups=32, num_classes=num_classes),
+    'vgg13_bn': lambda num_classes=1000: vgg16_bn_f(num_classes, depth=13),
+    'vgg19_bn': lambda num_classes=1000: vgg16_bn_f(num_classes, depth=19),
+    'vgg13': lambda num_classes=1000, w=1.0: vgg11_f(num_classes, w=w, depth=13),
+    'vgg19': lambda num_classes=1000, w=1.0: vgg11_f(num_classes, w=w, depth=19),
+    'densenet169': lambda num_classes=1000, growth=32: DenseNetF(
+        num_classes, growth, block_config=(6, 12, 32, 32)),
+    'densenet201': lambda num_classes=1000, growth=32: DenseNetF(
+        num_classes, growth, block_config=(6, 12, 48, 32)),
+    'shufflenet_v2_x0_5': lambda num_classes=1000, w=1.0: ShuffleNetV2F(
+        num_classes, w=w, variant='x0_5'),
+    'shufflenet_v2_x2_0': lambda num_classes=1000, w=1.0: ShuffleNetV2F(
+        num_classes, w=w, variant='x2_0'),
+    'mnasnet0_5': lambda num_classes=1000: MNASNetF(num_classes, w=0.5),
+    'mnasnet1_3': lambda num_classes=1000: MNASNetF(num_classes, w=1.3),
+    'vit_b_32': lambda num_classes=1000: ViTF(num_classes=num_classes, patch=32),
+    'vit_l_16': lambda num_classes=1000: ViTF(num_classes=num_classes, dim=1024,
+                                              depth=24, heads=16),
 }

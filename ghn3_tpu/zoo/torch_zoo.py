@@ -17,7 +17,7 @@ def _torch():
     return torch, nn, F
 
 
-def _make_resnet(block, layers, width=64, num_classes=1000):
+def _make_resnet(block, layers, width=64, num_classes=1000, groups=1):
     torch, nn, F = _torch()
 
     class BasicBlock(nn.Module):
@@ -42,10 +42,11 @@ def _make_resnet(block, layers, width=64, num_classes=1000):
 
         def __init__(self, cin, planes, stride=1, down=None, base_width=64):
             super().__init__()
-            w = int(planes * (base_width / 64.0))
+            w = int(planes * (base_width / 64.0)) * groups
             self.conv1 = nn.Conv2d(cin, w, 1, bias=False)
             self.bn1 = nn.BatchNorm2d(w)
-            self.conv2 = nn.Conv2d(w, w, 3, stride=stride, padding=1, bias=False)
+            self.conv2 = nn.Conv2d(w, w, 3, stride=stride, padding=1, groups=groups,
+                                   bias=False)
             self.bn2 = nn.BatchNorm2d(w)
             self.conv3 = nn.Conv2d(w, planes * 4, 1, bias=False)
             self.bn3 = nn.BatchNorm2d(planes * 4)
@@ -122,6 +123,20 @@ def wide_resnet50_2(num_classes=1000):
     return _make_resnet('bottleneck', [3, 4, 6, 3], width=128, num_classes=num_classes)
 
 
+def wide_resnet101_2(num_classes=1000):
+    return _make_resnet('bottleneck', [3, 4, 23, 3], width=128, num_classes=num_classes)
+
+
+def resnext50_32x4d(num_classes=1000):
+    return _make_resnet('bottleneck', [3, 4, 6, 3], width=4, groups=32,
+                        num_classes=num_classes)
+
+
+def resnext101_32x8d(num_classes=1000):
+    return _make_resnet('bottleneck', [3, 4, 23, 3], width=8, groups=32,
+                        num_classes=num_classes)
+
+
 def vit_b_16(num_classes=1000, dim=768, depth=12, heads=12, patch=16):
     """ViT-B/16-style encoder with learned positional embedding."""
     torch, nn, F = _torch()
@@ -174,11 +189,20 @@ def vit_b_16(num_classes=1000, dim=768, depth=12, heads=12, patch=16):
     return ViT()
 
 
-def vgg16_bn(num_classes=1000):
-    """VGG-16 with batch norm (Simonyan & Zisserman 2014 layout)."""
+VGG_CFGS = {
+    11: [64, 'M', 128, 'M', 256, 256, 'M', 512, 512, 'M', 512, 512, 'M'],
+    13: [64, 64, 'M', 128, 128, 'M', 256, 256, 'M', 512, 512, 'M', 512, 512, 'M'],
+    16: [64, 64, 'M', 128, 128, 'M', 256, 256, 256, 'M', 512, 512, 512, 'M',
+         512, 512, 512, 'M'],
+    19: [64, 64, 'M', 128, 128, 'M', 256, 256, 256, 256, 'M', 512, 512, 512, 512,
+         'M', 512, 512, 512, 512, 'M'],
+}
+
+
+def vgg16_bn(num_classes=1000, depth=16):
+    """VGG with batch norm (Simonyan & Zisserman 2014 layout)."""
     torch, nn, F = _torch()
-    cfgs = [64, 64, 'M', 128, 128, 'M', 256, 256, 256, 'M', 512, 512, 512, 'M',
-            512, 512, 512, 'M']
+    cfgs = VGG_CFGS[depth]
     layers = []
     cin = 3
     for v in cfgs:
@@ -311,8 +335,8 @@ def squeezenet1_1(num_classes=1000):
     return SqueezeNet()
 
 
-def densenet121(num_classes=1000, growth=32):
-    """DenseNet-121 (Huang et al. 2017): dense blocks + transition layers."""
+def densenet121(num_classes=1000, growth=32, block_config=(6, 12, 24, 16)):
+    """DenseNet (Huang et al. 2017): dense blocks + transition layers."""
     torch, nn, F = _torch()
 
     class DenseLayer(nn.Module):
@@ -351,10 +375,10 @@ def densenet121(num_classes=1000, growth=32):
             feats = [nn.Conv2d(3, c, 7, stride=2, padding=3, bias=False),
                      nn.BatchNorm2d(c), nn.ReLU(inplace=True),
                      nn.MaxPool2d(3, stride=2, padding=1)]
-            for i, n in enumerate((6, 12, 24, 16)):
+            for i, n in enumerate(block_config):
                 feats.append(DenseBlock(c, n))
                 c += n * growth
-                if i < 3:
+                if i < len(block_config) - 1:
                     feats.append(Transition(c, c // 2))
                     c //= 2
             feats.append(nn.BatchNorm2d(c))
@@ -589,9 +613,9 @@ def alexnet(num_classes=1000, w=1.0):
     return AlexNet()
 
 
-def vgg11(num_classes=1000, w=1.0):
-    """VGG-11 WITHOUT batch norm (torchvision vgg11): conv/relu/maxpool features,
-    3-layer classifier — the norm-free VGG variant of the sweep."""
+def vgg11(num_classes=1000, w=1.0, depth=11):
+    """VGG WITHOUT batch norm (torchvision vgg11/13/19): conv/relu/maxpool
+    features, 3-layer classifier — the norm-free VGG variants of the sweep."""
     torch, nn, F = _torch()
     c = lambda v: max(1, int(v * w))
 
@@ -599,7 +623,7 @@ def vgg11(num_classes=1000, w=1.0):
         def __init__(self):
             super().__init__()
             layers, cin = [], 3
-            for v in (64, 'M', 128, 'M', 256, 256, 'M', 512, 512, 'M', 512, 512, 'M'):
+            for v in VGG_CFGS[depth]:
                 if v == 'M':
                     layers.append(nn.MaxPool2d(2, stride=2))
                 else:
@@ -760,7 +784,13 @@ def mnasnet1_0(num_classes=1000, w=1.0):
     return MNASNet()
 
 
-def shufflenet_v2_x1_0(num_classes=1000, w=1.0):
+SHUFFLE_STAGES = {'x0_5': (24, 48, 96, 192, 1024),
+                  'x1_0': (24, 116, 232, 464, 1024),
+                  'x1_5': (24, 176, 352, 704, 1024),
+                  'x2_0': (24, 244, 488, 976, 2048)}
+
+
+def shufflenet_v2_x1_0(num_classes=1000, w=1.0, variant='x1_0'):
     """ShuffleNetV2 (Ma 2018), torchvision layout: channel split (chunk) +
     transpose-based channel shuffle — exercises slice/permute autograd nodes in
     the tracer that no other family hits."""
@@ -804,7 +834,7 @@ def shufflenet_v2_x1_0(num_classes=1000, w=1.0):
     class ShuffleNetV2(nn.Module):
         def __init__(self):
             super().__init__()
-            stages_out = [c(24), c(116), c(232), c(464), c(1024)]
+            stages_out = [c(v) for v in SHUFFLE_STAGES[variant]]
             self.conv1 = nn.Sequential(nn.Conv2d(3, stages_out[0], 3, 2, 1, bias=False),
                                        nn.BatchNorm2d(stages_out[0]), nn.ReLU(inplace=True))
             self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
@@ -1169,4 +1199,24 @@ TORCH_ZOO = {
     'regnet_y_400mf': regnet_y_400mf,
     'efficientnet_v2_s_ish': efficientnet_v2_s_ish,
     'swin_t': swin_t,
+    'wide_resnet101_2': wide_resnet101_2,
+    'resnext50_32x4d': resnext50_32x4d,
+    'resnext101_32x8d': resnext101_32x8d,
+    'vgg13_bn': lambda num_classes=1000: vgg16_bn(num_classes, depth=13),
+    'vgg19_bn': lambda num_classes=1000: vgg16_bn(num_classes, depth=19),
+    'vgg13': lambda num_classes=1000, w=1.0: vgg11(num_classes, w=w, depth=13),
+    'vgg19': lambda num_classes=1000, w=1.0: vgg11(num_classes, w=w, depth=19),
+    'densenet169': lambda num_classes=1000, growth=32: densenet121(
+        num_classes, growth, block_config=(6, 12, 32, 32)),
+    'densenet201': lambda num_classes=1000, growth=32: densenet121(
+        num_classes, growth, block_config=(6, 12, 48, 32)),
+    'shufflenet_v2_x0_5': lambda num_classes=1000, w=1.0: shufflenet_v2_x1_0(
+        num_classes, w=w, variant='x0_5'),
+    'shufflenet_v2_x2_0': lambda num_classes=1000, w=1.0: shufflenet_v2_x1_0(
+        num_classes, w=w, variant='x2_0'),
+    'mnasnet0_5': lambda num_classes=1000: mnasnet1_0(num_classes, w=0.5),
+    'mnasnet1_3': lambda num_classes=1000: mnasnet1_0(num_classes, w=1.3),
+    'vit_b_32': lambda num_classes=1000: vit_b_16(num_classes, patch=32),
+    'vit_l_16': lambda num_classes=1000: vit_b_16(num_classes, dim=1024,
+                                                  depth=24, heads=16),
 }

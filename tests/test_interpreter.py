@@ -198,3 +198,78 @@ def test_bf16_compute_close_to_f32():
     assert np.isfinite(outs['bfloat16']).all()
     np.testing.assert_allclose(outs['bfloat16'], outs['float32'],
                                atol=0.05, rtol=0.1)
+
+
+def test_bnfree_imagenet_stem_case():
+    """norm=None + stem_type=1: the second stem conv is stem0.3 regardless of
+    norm (the bn slot holds Identity) — regression for the fixed-index bug the
+    round-2 code review found (matches the published dataset naming,
+    reference deepnets1m.py:178)."""
+    net_args = dict(BASE, genotype=GENO_SIMPLE, stem_type=1, C_mult=1, norm=None,
+                    n_cells=3)
+    net = Network(num_classes=10, is_imagenet_input=False, **net_args)
+    names = {n for n, _, _ in net.named_params()}
+    assert 'stem0.3.weight' in names and 'stem0.2.weight' not in names
+    ref, got, _ = _run_pair(net_args)
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_ghn2_interpreter_matches_plan_path():
+    """cfg.is_ghn2: the interpreter's decode/tiling (corner crops) must equal
+    the plan path's — regression for the missing corner=is_ghn2 the round-2
+    code review found."""
+    import dataclasses
+    cfg2 = dataclasses.replace(CFG, is_ghn2=True, layers=0)
+    params2 = init_ghn_params(jax.random.PRNGKey(1), cfg2)
+    net_args = CASES['mixed']
+    net = Network(num_classes=10, is_imagenet_input=False, **net_args)
+    graph = net.graph_def()
+    graph.net_args = dict(net_args)
+    batch = GraphBatch.from_graphs([graph])
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(rng.normal(size=(2, 3, 32, 32)).astype(np.float32))
+
+    packed = predict_packed(params2, cfg2, batch, [net.param_table()])
+    logits_ref = np.asarray(net(packed[0], images, training=True))
+
+    vocab = itp.vocab_from_genotypes([net_args['genotype']])
+    bucket, arch = itp.encode_arch(graph, num_classes=10, is_imagenet_input=False,
+                                   cfg=cfg2, vocab=vocab)
+    plan = build_plan(batch, [net.param_table()], cfg2)
+    x = forward_embeddings(params2, cfg2, batch, plan.shape_ind)
+    x0 = x.reshape(1, batch.n_pad, -1)[0]
+    arch_j = {k: jnp.asarray(v) for k, v in arch.items() if k != 'shape_ind'}
+    logits_int, _ = itp.interpret_forward(params2, cfg2, bucket, x0, arch_j, images)
+    np.testing.assert_allclose(np.asarray(logits_int), logits_ref,
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_custom_input_size_bucketed():
+    """--imsize flows into the bucket (static geometry), so nonstandard image
+    sizes run instead of producing XLA shape errors — regression for the
+    hardcoded-224/32 bug the round-2 code review found."""
+    net_args = dict(BASE, genotype=GENO_SIMPLE, n_cells=3)
+    net = Network(num_classes=10, is_imagenet_input=False, **net_args)
+    graph = net.graph_def()
+    graph.net_args = dict(net_args)
+    vocab = itp.vocab_from_genotypes([GENO_SIMPLE])
+    bucket, arch = itp.encode_arch(graph, num_classes=10, is_imagenet_input=False,
+                                   cfg=CFG, vocab=vocab, input_size=48)
+    assert bucket.image_size == 48
+    batch = GraphBatch.from_graphs([graph])
+    plan = build_plan(batch, [net.param_table()], CFG)
+    x = forward_embeddings(PARAMS, CFG, batch, plan.shape_ind)
+    x0 = x.reshape(1, batch.n_pad, -1)[0]
+    arch_j = {k: jnp.asarray(v) for k, v in arch.items() if k != 'shape_ind'}
+    rng = np.random.default_rng(2)
+    images = jnp.asarray(rng.normal(size=(2, 3, 48, 48)).astype(np.float32))
+    logits, _ = itp.interpret_forward(PARAMS, CFG, bucket, x0, arch_j, images)
+    assert logits.shape == (2, 10) and np.isfinite(np.asarray(logits)).all()
+    # flatten heads reject nonstandard sizes with a clear error
+    flat_args = dict(BASE, genotype=GENO_SIMPLE, glob_avg=False, n_cells=3)
+    fnet = Network(num_classes=10, is_imagenet_input=False, **flat_args)
+    fgraph = fnet.graph_def()
+    fgraph.net_args = dict(flat_args)
+    with pytest.raises(itp.EncodeError, match='glob_avg'):
+        itp.encode_arch(fgraph, num_classes=10, is_imagenet_input=False,
+                        vocab=vocab, input_size=48)

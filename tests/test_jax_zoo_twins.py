@@ -31,6 +31,12 @@ SMALL = {
     'efficientnet_v2_s_ish': dict(w=0.25),
     'swin_t': dict(embed_dim=16, depths=(2, 2), heads=(2, 2), window=4,
                    input_sz=128),
+    'resnext50_32x4d': dict(),
+    'vgg19_bn': dict(),
+    'vgg13': dict(w=0.25),
+    'densenet201': dict(growth=8),
+    'shufflenet_v2_x0_5': dict(w=0.5),
+    'mnasnet0_5': dict(),
 }
 
 

@@ -87,7 +87,7 @@ def main():
             g = net.graph_def()
             g.net_args = dict(net_args)
             itp.encode_arch(g, num_classes=10, is_imagenet_input=args.imsize > 64,
-                            vocab=vocab)
+                            vocab=vocab, input_size=args.imsize)
         except Exception:
             continue
         seen.add(sig)
@@ -125,7 +125,8 @@ def main():
         cursors[c] = i + args.meta_bs
         batches.append(build_interp_batch(cfg, group, num_classes=10,
                                           is_imagenet_input=args.imsize > 64,
-                                          vocab=vocab, pad_to=pads[c]))
+                                          vocab=vocab, pad_to=pads[c],
+                                          input_size=args.imsize))
 
     t0 = time.perf_counter()
     times = []
