@@ -108,8 +108,16 @@ class GELU(FModule):
 
 
 class Hardswish(FModule):
+    def __init__(self, inplace=False):
+        super().__init__()
+
     def __call__(self, P, x, prefix='', training=False):
         return jax.nn.hard_swish(x)
+
+
+class Hardsigmoid(FModule):
+    def __call__(self, P, x, prefix='', training=False):
+        return jax.nn.hard_sigmoid(x)
 
 
 class SiLU(FModule):

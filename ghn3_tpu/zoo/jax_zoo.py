@@ -15,9 +15,10 @@ import jax
 import jax.numpy as jnp
 
 from ..nets.functional import (AdaptiveAvgPool2d, AvgPool2d, BatchNorm2d, Conv2d,
-                               Dropout, FModule, Flatten, GELU, Identity,
-                               LayerNorm, Linear, MaxPool2d, ReLU, ReLU6,
-                               Sequential, SiLU, adaptive_avg_pool2d)
+                               Dropout, FModule, Flatten, GELU, Hardswish,
+                               Hardsigmoid, Identity, LayerNorm, Linear,
+                               MaxPool2d, ReLU, ReLU6, Sequential, SiLU,
+                               adaptive_avg_pool2d)
 
 
 class _BasicBlock(FModule):
@@ -1074,6 +1075,76 @@ class SwinF(_Target):
         return self.head(P, x.mean(axis=(1, 2)), prefix + 'head.', training)
 
 
+class _SEHardF(FModule):
+    """MobileNetV3 squeeze-excite: relu + hard-sigmoid gating."""
+
+    def __init__(self, cin):
+        super().__init__()
+        sq = max(8, (cin // 4 + 4) // 8 * 8)
+        self.fc1 = Conv2d(cin, sq, 1)
+        self.fc2 = Conv2d(sq, cin, 1)
+
+    def __call__(self, P, x, prefix='', training=False):
+        s = x.mean(axis=(2, 3), keepdims=True)
+        s = jax.nn.relu(self.fc1(P, s, prefix + 'fc1.', training))
+        s = jax.nn.hard_sigmoid(self.fc2(P, s, prefix + 'fc2.', training))
+        return x * s
+
+
+class _MNV3Block(FModule):
+    def __init__(self, cin, exp, cout, k, stride, se, hs):
+        super().__init__()
+        act = Hardswish if hs else ReLU
+        self.use_res = stride == 1 and cin == cout
+        mods = []
+        if exp != cin:
+            mods += [Conv2d(cin, exp, 1, bias=False), BatchNorm2d(exp), act()]
+        mods += [Conv2d(exp, exp, k, stride=stride, padding=k // 2, groups=exp,
+                        bias=False),
+                 BatchNorm2d(exp), act()]
+        if se:
+            mods.append(_SEHardF(exp))
+        mods += [Conv2d(exp, cout, 1, bias=False), BatchNorm2d(cout)]
+        self.block = Sequential(*mods)
+
+    def __call__(self, P, x, prefix='', training=False):
+        y = self.block(P, x, prefix + 'block.', training)
+        return x + y if self.use_res else y
+
+
+class MobileNetV3F(_Target):
+    def __init__(self, num_classes=1000, w=1.0):
+        super().__init__()
+        self.num_classes = num_classes
+        self.expected_input_sz = 224
+        self.predicted: Dict[str, jnp.ndarray] = {}
+
+        def c8(v):
+            v = int(v * w)
+            return max(8, (v + 4) // 8 * 8)
+
+        cfg = [(16, 16, 16, 3, 2, True, False), (16, 72, 24, 3, 2, False, False),
+               (24, 88, 24, 3, 1, False, False), (24, 96, 40, 5, 2, True, True),
+               (40, 240, 40, 5, 1, True, True), (40, 240, 40, 5, 1, True, True),
+               (40, 120, 48, 5, 1, True, True), (48, 144, 48, 5, 1, True, True),
+               (48, 288, 96, 5, 2, True, True), (96, 576, 96, 5, 1, True, True),
+               (96, 576, 96, 5, 1, True, True)]
+        feats = [Sequential(Conv2d(3, c8(16), 3, stride=2, padding=1, bias=False),
+                            BatchNorm2d(c8(16)), Hardswish())]
+        for cin, exp, cout, k, s_, se, hs in cfg:
+            feats.append(_MNV3Block(c8(cin), c8(exp), c8(cout), k, s_, se, hs))
+        last = c8(576)
+        feats.append(Sequential(Conv2d(c8(96), last, 1, bias=False),
+                                BatchNorm2d(last), Hardswish()))
+        self.features = Sequential(*feats)
+        self.classifier = Sequential(Linear(last, c8(1024)), Hardswish(),
+                                     Dropout(0.2), Linear(c8(1024), num_classes))
+
+    def __call__(self, P, x, prefix='', training=False):
+        x = self.features(P, x, prefix + 'features.', training).mean(axis=(2, 3))
+        return self.classifier(P, x, prefix + 'classifier.', training)
+
+
 JAX_ZOO = {
     'resnet18': lambda num_classes=1000: ResNetF('basic', (2, 2, 2, 2), num_classes=num_classes),
     'resnet34': lambda num_classes=1000: ResNetF('basic', (3, 4, 6, 3), num_classes=num_classes),
@@ -1121,4 +1192,7 @@ JAX_ZOO = {
     'vit_b_32': lambda num_classes=1000: ViTF(num_classes=num_classes, patch=32),
     'vit_l_16': lambda num_classes=1000: ViTF(num_classes=num_classes, dim=1024,
                                               depth=24, heads=16),
+    'mobilenet_v3_small': MobileNetV3F,
+    'mobilenet_v2_x1_4': lambda num_classes=1000: MobileNetV2F(
+        num_classes, width_mult=1.4),
 }

@@ -1019,6 +1019,87 @@ def efficientnet_v2_s_ish(num_classes=1000, w=1.0):
     return EffNetV2()
 
 
+def mobilenet_v3_small(num_classes=1000, w=1.0):
+    """MobileNetV3-Small (Howard 2019), torchvision layout: inverted residuals
+    with hard-sigmoid squeeze-excitation and hardswish/relu activation mix —
+    exercises the hardsigmoid autograd path no other family hits."""
+    torch, nn, F = _torch()
+
+    def c8(v):
+        v = int(v * w)
+        return max(8, (v + 4) // 8 * 8)
+
+    class SE(nn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            sq = max(8, (cin // 4 + 4) // 8 * 8)
+            self.fc1 = nn.Conv2d(cin, sq, 1)
+            self.fc2 = nn.Conv2d(sq, cin, 1)
+
+        def forward(self, x):
+            s = F.adaptive_avg_pool2d(x, 1)
+            s = F.hardsigmoid(self.fc2(F.relu(self.fc1(s))))
+            return x * s
+
+    class InvertedResidual(nn.Module):
+        def __init__(self, cin, exp, cout, k, stride, se, hs):
+            super().__init__()
+            act = nn.Hardswish if hs else nn.ReLU
+            self.use_res = stride == 1 and cin == cout
+            block = []
+            if exp != cin:
+                block += [nn.Conv2d(cin, exp, 1, bias=False), nn.BatchNorm2d(exp),
+                          act(inplace=True)]
+            block += [nn.Conv2d(exp, exp, k, stride=stride, padding=k // 2,
+                                groups=exp, bias=False),
+                      nn.BatchNorm2d(exp), act(inplace=True)]
+            if se:
+                block.append(SE(exp))
+            block += [nn.Conv2d(exp, cout, 1, bias=False), nn.BatchNorm2d(cout)]
+            self.block = nn.Sequential(*block)
+
+        def forward(self, x):
+            y = self.block(x)
+            return x + y if self.use_res else y
+
+    # (cin, exp, cout, kernel, stride, SE, hardswish) — mobilenet_v3_small rows
+    cfg = [(16, 16, 16, 3, 2, True, False),
+           (16, 72, 24, 3, 2, False, False),
+           (24, 88, 24, 3, 1, False, False),
+           (24, 96, 40, 5, 2, True, True),
+           (40, 240, 40, 5, 1, True, True),
+           (40, 240, 40, 5, 1, True, True),
+           (40, 120, 48, 5, 1, True, True),
+           (48, 144, 48, 5, 1, True, True),
+           (48, 288, 96, 5, 2, True, True),
+           (96, 576, 96, 5, 1, True, True),
+           (96, 576, 96, 5, 1, True, True)]
+
+    class MobileNetV3(nn.Module):
+        def __init__(self):
+            super().__init__()
+            feats = [nn.Sequential(nn.Conv2d(3, c8(16), 3, stride=2, padding=1,
+                                             bias=False),
+                                   nn.BatchNorm2d(c8(16)), nn.Hardswish(inplace=True))]
+            for cin, exp, cout, k, s, se, hs in cfg:
+                feats.append(InvertedResidual(c8(cin), c8(exp), c8(cout), k, s, se, hs))
+            last = c8(576)
+            feats.append(nn.Sequential(nn.Conv2d(c8(96), last, 1, bias=False),
+                                       nn.BatchNorm2d(last), nn.Hardswish(inplace=True)))
+            self.features = nn.Sequential(*feats)
+            self.avgpool = nn.AdaptiveAvgPool2d(1)
+            self.classifier = nn.Sequential(
+                nn.Linear(last, c8(1024)), nn.Hardswish(inplace=True),
+                nn.Dropout(0.2), nn.Linear(c8(1024), num_classes))
+            self.expected_input_sz = 224
+
+        def forward(self, x):
+            x = self.avgpool(self.features(x)).flatten(1)
+            return self.classifier(x)
+
+    return MobileNetV3()
+
+
 def swin_t(num_classes=1000, embed_dim=96, depths=(2, 2, 6, 2),
            heads=(3, 6, 12, 24), window=7, mlp_ratio=4.0,
            stochastic_depth_prob=0.2, input_sz=224):
@@ -1219,4 +1300,7 @@ TORCH_ZOO = {
     'vit_b_32': lambda num_classes=1000: vit_b_16(num_classes, patch=32),
     'vit_l_16': lambda num_classes=1000: vit_b_16(num_classes, dim=1024,
                                                   depth=24, heads=16),
+    'mobilenet_v3_small': mobilenet_v3_small,
+    'mobilenet_v2_x1_4': lambda num_classes=1000: mobilenet_v2(
+        num_classes, width_mult=1.4),
 }

@@ -37,6 +37,7 @@ SMALL = {
     'densenet201': dict(growth=8),
     'shufflenet_v2_x0_5': dict(w=0.5),
     'mnasnet0_5': dict(),
+    'mobilenet_v3_small': dict(w=0.5),
 }
 
 

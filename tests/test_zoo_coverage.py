@@ -18,8 +18,12 @@ from ghn3_tpu.zoo.torch_zoo import TORCH_ZOO
 
 CFG = GHNConfig(hid=16, heads=2, layers=1, max_shape=(16, 16, 11, 11), num_classes=10)
 
-NEW_FAMILIES = ['alexnet', 'vgg11', 'googlenet', 'mnasnet1_0',
-                'shufflenet_v2_x1_0', 'regnet_y_400mf', 'efficientnet_v2_s_ish']
+NEW_KWARGS = {'alexnet': dict(w=0.25), 'vgg11': dict(w=0.25),
+              'googlenet': dict(w=0.25), 'mnasnet1_0': dict(w=0.25),
+              'shufflenet_v2_x1_0': dict(w=0.25), 'regnet_y_400mf': dict(w=0.25),
+              'efficientnet_v2_s_ish': dict(w=0.25),
+              'mobilenet_v3_small': dict(w=0.5), 'resnext50_32x4d': {}}
+NEW_FAMILIES = sorted(NEW_KWARGS)
 
 
 def _small_swin():
@@ -38,8 +42,8 @@ def _small(name):
         kwargs.update(dim=32, depth=2, heads=2, patch=8)
     if name == 'inception_v3ish':
         kwargs.update(c=8)
-    if name in NEW_FAMILIES:
-        kwargs.update(w=0.25)
+    if name in NEW_KWARGS:
+        kwargs.update(NEW_KWARGS[name])
     m = TORCH_ZOO[name](**kwargs)
     if name == 'vit_b_16':
         m.expected_input_sz = 32
