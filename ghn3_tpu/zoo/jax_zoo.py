@@ -818,8 +818,9 @@ class ShuffleNetV2F(_Target):
 
 
 class _RegBlock(FModule):
-    def __init__(self, cin, cout, stride, group_width, se_ratio=0.25):
+    def __init__(self, cin, cout, stride, group_width, se_ratio=0.25, use_se=True):
         super().__init__()
+        self.use_se = use_se
         self.proj = None
         if cin != cout or stride != 1:
             self.proj = Sequential(Conv2d(cin, cout, 1, stride=stride, bias=False),
@@ -831,7 +832,8 @@ class _RegBlock(FModule):
         f.add('b', Sequential(Conv2d(cout, cout, 3, stride=stride, padding=1,
                                      groups=groups, bias=False),
                               BatchNorm2d(cout), ReLU()))
-        f.add('se', _SEBlock(cout, max(1, int(cin * se_ratio)), act='relu', pooled=True))
+        if use_se:
+            f.add('se', _SEBlock(cout, max(1, int(cin * se_ratio)), act='relu', pooled=True))
         f.add('c', Sequential(Conv2d(cout, cout, 1, bias=False), BatchNorm2d(cout)))
         self.add('f', f)
         self.f = f
@@ -840,25 +842,28 @@ class _RegBlock(FModule):
         idt = x if self.proj is None else self.proj(P, x, prefix + 'proj.', training)
         y = self.f._children['a'](P, x, prefix + 'f.a.', training)
         y = self.f._children['b'](P, y, prefix + 'f.b.', training)
-        y = self.f._children['se'](P, y, prefix + 'f.se.', training)
+        if self.use_se:
+            y = self.f._children['se'](P, y, prefix + 'f.se.', training)
         y = self.f._children['c'](P, y, prefix + 'f.c.', training)
         return jax.nn.relu(idt + y)
 
 
 class RegNetF(_Target):
-    def __init__(self, num_classes=1000, w=1.0):
+    def __init__(self, num_classes=1000, w=1.0, variant='regnet_y_400mf'):
         super().__init__()
+        from .configs import regnet_config
+        widths, depths, gws, use_se = regnet_config(variant, w)
         c = lambda v: max(8, int(v * w) // 8 * 8)
         self.num_classes = num_classes
         self.expected_input_sz = 224
         self.predicted: Dict[str, jnp.ndarray] = {}
         self.stem = Sequential(Conv2d(3, c(32), 3, stride=2, padding=1, bias=False),
                                BatchNorm2d(c(32)), ReLU())
-        widths, depths, gw = [c(48), c(104), c(208), c(440)], [1, 3, 6, 6], c(8)
         stages = []
         cin = c(32)
-        for wd, dep in zip(widths, depths):
-            blocks = [_RegBlock(cin if j == 0 else wd, wd, 2 if j == 0 else 1, gw)
+        for wd, dep, gw in zip(widths, depths, gws):
+            blocks = [_RegBlock(cin if j == 0 else wd, wd, 2 if j == 0 else 1, gw,
+                                use_se=use_se)
                       for j in range(dep)]
             stages.append(Sequential(*blocks))
             cin = wd
@@ -1196,3 +1201,11 @@ JAX_ZOO = {
     'mobilenet_v2_x1_4': lambda num_classes=1000: MobileNetV2F(
         num_classes, width_mult=1.4),
 }
+
+from .configs import REGNET_PARAMS as _REGNET_PARAMS  # noqa: E402
+
+for _v in _REGNET_PARAMS:
+    if _v not in JAX_ZOO:
+        JAX_ZOO[_v] = (lambda num_classes=1000, w=1.0, _v=_v:
+                       RegNetF(num_classes, w, variant=_v))
+del _v

@@ -857,11 +857,15 @@ def shufflenet_v2_x1_0(num_classes=1000, w=1.0, variant='x1_0'):
     return ShuffleNetV2()
 
 
-def regnet_y_400mf(num_classes=1000, w=1.0):
-    """RegNet-Y (Radosavovic 2020), torchvision layout: SimpleStemIN +
-    trunk_output of ResBottleneckBlocks with grouped 3x3 convs and
-    squeeze-excitation, relu after the residual add."""
+def regnet(variant='regnet_y_400mf', num_classes=1000, w=1.0):
+    """RegNet-X/Y (Radosavovic 2020), torchvision layout: SimpleStemIN +
+    trunk_output of ResBottleneckBlocks with grouped 3x3 convs (Y adds
+    squeeze-excitation), relu after the residual add. Stage widths/depths come
+    from the quantized generator (zoo/configs.py), matching torchvision's
+    BlockParams.from_init_params for every released variant."""
     torch, nn, F = _torch()
+    from .configs import regnet_config
+    widths, depths, gws, use_se = regnet_config(variant, w)
     c = lambda v: max(8, int(v * w) // 8 * 8)
 
     class SqueezeExcitation(nn.Module):
@@ -884,12 +888,16 @@ def regnet_y_400mf(num_classes=1000, w=1.0):
             self.b = nn.Sequential(nn.Conv2d(cout, cout, 3, stride=stride, padding=1,
                                              groups=groups, bias=False),
                                    nn.BatchNorm2d(cout), nn.ReLU(inplace=True))
-            self.se = SqueezeExcitation(cout, max(1, int(cin * se_ratio)))
+            if use_se:
+                self.se = SqueezeExcitation(cout, max(1, int(cin * se_ratio)))
             self.c = nn.Sequential(nn.Conv2d(cout, cout, 1, bias=False),
                                    nn.BatchNorm2d(cout))
 
         def forward(self, x):
-            return self.c(self.se(self.b(self.a(x))))
+            y = self.b(self.a(x))
+            if use_se:
+                y = self.se(y)
+            return self.c(y)
 
     class ResBottleneckBlock(nn.Module):
         def __init__(self, cin, cout, stride, group_width):
@@ -909,10 +917,9 @@ def regnet_y_400mf(num_classes=1000, w=1.0):
             super().__init__()
             self.stem = nn.Sequential(nn.Conv2d(3, c(32), 3, stride=2, padding=1, bias=False),
                                       nn.BatchNorm2d(c(32)), nn.ReLU(inplace=True))
-            widths, depths, gw = [c(48), c(104), c(208), c(440)], [1, 3, 6, 6], c(8)
             stages = []
             cin = c(32)
-            for wd, dep in zip(widths, depths):
+            for wd, dep, gw in zip(widths, depths, gws):
                 blocks = []
                 for j in range(dep):
                     blocks.append(ResBottleneckBlock(cin if j == 0 else wd, wd,
@@ -930,6 +937,10 @@ def regnet_y_400mf(num_classes=1000, w=1.0):
             return self.fc(_t.flatten(x, 1))
 
     return RegNet()
+
+
+def regnet_y_400mf(num_classes=1000, w=1.0):
+    return regnet('regnet_y_400mf', num_classes, w)
 
 
 def efficientnet_v2_s_ish(num_classes=1000, w=1.0):
@@ -1304,3 +1315,12 @@ TORCH_ZOO = {
     'mobilenet_v2_x1_4': lambda num_classes=1000: mobilenet_v2(
         num_classes, width_mult=1.4),
 }
+
+# RegNet-X/Y released variants, widths from the shared quantized generator
+from .configs import REGNET_PARAMS as _REGNET_PARAMS  # noqa: E402
+
+for _v in _REGNET_PARAMS:
+    if _v not in TORCH_ZOO:
+        TORCH_ZOO[_v] = (lambda num_classes=1000, w=1.0, _v=_v:
+                         regnet(_v, num_classes, w))
+del _v

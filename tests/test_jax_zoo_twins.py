@@ -28,6 +28,7 @@ SMALL = {
     'mnasnet1_0': dict(w=0.25),
     'shufflenet_v2_x1_0': dict(w=0.25),
     'regnet_y_400mf': dict(w=0.5),
+    'regnet_x_800mf': dict(w=0.25),
     'efficientnet_v2_s_ish': dict(w=0.25),
     'swin_t': dict(embed_dim=16, depths=(2, 2), heads=(2, 2), window=4,
                    input_sz=128),

@@ -21,6 +21,7 @@ CFG = GHNConfig(hid=16, heads=2, layers=1, max_shape=(16, 16, 11, 11), num_class
 NEW_KWARGS = {'alexnet': dict(w=0.25), 'vgg11': dict(w=0.25),
               'googlenet': dict(w=0.25), 'mnasnet1_0': dict(w=0.25),
               'shufflenet_v2_x1_0': dict(w=0.25), 'regnet_y_400mf': dict(w=0.25),
+              'regnet_x_400mf': dict(w=0.25),
               'efficientnet_v2_s_ish': dict(w=0.25),
               'mobilenet_v3_small': dict(w=0.5), 'resnext50_32x4d': {}}
 NEW_FAMILIES = sorted(NEW_KWARGS)
@@ -127,6 +128,29 @@ def test_swin_t_graph_and_predict_match_reference():
         np.testing.assert_allclose(po.detach().numpy(), pr.detach().numpy(),
                                    atol=1e-5, rtol=1e-4,
                                    err_msg=f'swin_t: predicted {k} differs')
+
+
+def test_regnet_generator_matches_published_tables():
+    """The quantized generator (configs.regnet_stages) must reproduce the
+    published pycls/torchvision stage tables; full-size parameter counts are
+    pinned against torchvision's model summaries."""
+    from ghn3_tpu.zoo.configs import regnet_config
+
+    tables = {  # widths, depths (group width = generator param clamped to width)
+        'regnet_x_400mf': ([32, 64, 160, 400], [1, 2, 7, 12]),
+        'regnet_x_3_2gf': ([96, 192, 432, 1008], [2, 6, 15, 2]),
+        'regnet_y_400mf': ([48, 104, 208, 440], [1, 3, 6, 6]),
+        'regnet_y_8gf': ([224, 448, 896, 2016], [2, 4, 10, 1]),
+    }
+    for name, (widths, depths) in tables.items():
+        got_w, got_d, _, _ = regnet_config(name)
+        assert (got_w, got_d) == (widths, depths), name
+
+    counts = {'regnet_x_400mf': 5495976, 'regnet_y_400mf': 4344144,
+              'regnet_y_8gf': 39381472}
+    for name, want in counts.items():
+        m = TORCH_ZOO[name](num_classes=1000)
+        assert sum(p.numel() for p in m.parameters()) == want, name
 
 
 @pytest.mark.skipif(not reference_available(), reason='reference repo not mounted')
