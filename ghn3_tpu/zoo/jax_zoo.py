@@ -283,10 +283,10 @@ def vgg16_bn_f(num_classes=1000, depth=16):
         else:
             layers += [Conv2d(cin, v, 3, padding=1), BatchNorm2d(v), ReLU()]
             cin = v
-    cls = Sequential(Linear(512, 4096), ReLU(), Dropout(),
+    cls = Sequential(Linear(512 * 49, 4096), ReLU(), Dropout(),
                      Linear(4096, 4096), ReLU(), Dropout(),
                      Linear(4096, num_classes))
-    return _SeqNet(Sequential(*layers), (1, 1), cls, num_classes)
+    return _SeqNet(Sequential(*layers), (7, 7), cls, num_classes)
 
 
 class _InvertedResidualV2(FModule):
@@ -353,20 +353,32 @@ class _Fire(FModule):
 
 
 class SqueezeNetF(_Target):
-    def __init__(self, num_classes=1000):
+    def __init__(self, num_classes=1000, version='1_1'):
         super().__init__()
         self.num_classes = num_classes
         self.expected_input_sz = 224
         self.predicted: Dict[str, jnp.ndarray] = {}
-        self.features = Sequential(
-            Conv2d(3, 64, 3, stride=2), ReLU(),
-            MaxPool2d(3, stride=2, ceil_mode=True),
-            _Fire(64, 16, 64, 64), _Fire(128, 16, 64, 64),
-            MaxPool2d(3, stride=2, ceil_mode=True),
-            _Fire(128, 32, 128, 128), _Fire(256, 32, 128, 128),
-            MaxPool2d(3, stride=2, ceil_mode=True),
-            _Fire(256, 48, 192, 192), _Fire(384, 48, 192, 192),
-            _Fire(384, 64, 256, 256), _Fire(512, 64, 256, 256))
+        if version == '1_0':
+            self.features = Sequential(
+                Conv2d(3, 96, 7, stride=2), ReLU(),
+                MaxPool2d(3, stride=2, ceil_mode=True),
+                _Fire(96, 16, 64, 64), _Fire(128, 16, 64, 64),
+                _Fire(128, 32, 128, 128),
+                MaxPool2d(3, stride=2, ceil_mode=True),
+                _Fire(256, 32, 128, 128), _Fire(256, 48, 192, 192),
+                _Fire(384, 48, 192, 192), _Fire(384, 64, 256, 256),
+                MaxPool2d(3, stride=2, ceil_mode=True),
+                _Fire(512, 64, 256, 256))
+        else:
+            self.features = Sequential(
+                Conv2d(3, 64, 3, stride=2), ReLU(),
+                MaxPool2d(3, stride=2, ceil_mode=True),
+                _Fire(64, 16, 64, 64), _Fire(128, 16, 64, 64),
+                MaxPool2d(3, stride=2, ceil_mode=True),
+                _Fire(128, 32, 128, 128), _Fire(256, 32, 128, 128),
+                MaxPool2d(3, stride=2, ceil_mode=True),
+                _Fire(256, 48, 192, 192), _Fire(384, 48, 192, 192),
+                _Fire(384, 64, 256, 256), _Fire(512, 64, 256, 256))
         self.classifier = Sequential(Dropout(0.5), Conv2d(512, num_classes, 1), ReLU())
 
     def __call__(self, P, x, prefix='', training=False):
@@ -411,12 +423,13 @@ class _DenseBlock(FModule):
 
 
 class DenseNetF(_Target):
-    def __init__(self, num_classes=1000, growth=32, block_config=(6, 12, 24, 16)):
+    def __init__(self, num_classes=1000, growth=32, block_config=(6, 12, 24, 16),
+                 init_features=64):
         super().__init__()
         self.num_classes = num_classes
         self.expected_input_sz = 224
         self.predicted: Dict[str, jnp.ndarray] = {}
-        c = 64
+        c = init_features
         feats = [Conv2d(3, c, 7, stride=2, padding=3, bias=False),
                  BatchNorm2d(c), ReLU(), MaxPool2d(3, stride=2, padding=1)]
         for i, n in enumerate(block_config):
@@ -497,6 +510,54 @@ class EffNetB0F(_Target):
         feats += [Conv2d(cin, 1280, 1, bias=False), BatchNorm2d(1280), SiLU()]
         self.features = Sequential(*feats)
         self.classifier = Linear(1280, num_classes)
+
+    def __call__(self, P, x, prefix='', training=False):
+        x = self.features(P, x, prefix + 'features.', training).mean(axis=(2, 3))
+        return self.classifier(P, x, prefix + 'classifier.', training)
+
+
+class _MBConvV1(FModule):
+    """Exact torchvision MBConv: SE squeeze from the UNexpanded block input;
+    stochastic depth is identity at inference (eval twins)."""
+
+    def __init__(self, cin, cout, stride, expand, k):
+        super().__init__()
+        hidden = cin * expand
+        self.use_res = stride == 1 and cin == cout
+        mods = []
+        if expand != 1:
+            mods += [Conv2d(cin, hidden, 1, bias=False), BatchNorm2d(hidden), SiLU()]
+        mods += [Conv2d(hidden, hidden, k, stride=stride, padding=k // 2,
+                        groups=hidden, bias=False),
+                 BatchNorm2d(hidden), SiLU(),
+                 _SEBlock(hidden, max(1, cin // 4)),
+                 Conv2d(hidden, cout, 1, bias=False), BatchNorm2d(cout)]
+        self.block = Sequential(*mods)
+
+    def __call__(self, P, x, prefix='', training=False):
+        y = self.block(P, x, prefix + 'block.', training)
+        return x + y if self.use_res else y
+
+
+class EffNetV1F(_Target):
+    """Twin of torch_zoo.efficientnet_v1 (B0-B7 compound scaling)."""
+
+    def __init__(self, num_classes=1000, w=1.0, variant='efficientnet_b0'):
+        super().__init__()
+        from .configs import efficientnet_v1_config
+        stem, rows, head = efficientnet_v1_config(variant, w)
+        self.num_classes = num_classes
+        self.expected_input_sz = 224
+        self.predicted: Dict[str, jnp.ndarray] = {}
+        feats = [Conv2d(3, stem, 3, stride=2, padding=1, bias=False),
+                 BatchNorm2d(stem), SiLU()]
+        for t, k, s, cin, cout, n in rows:
+            for i in range(n):
+                feats.append(_MBConvV1(cin if i == 0 else cout, cout,
+                                       s if i == 0 else 1, t, k))
+        feats += [Conv2d(rows[-1][4], head, 1, bias=False), BatchNorm2d(head), SiLU()]
+        self.features = Sequential(*feats)
+        self.classifier = Sequential(Dropout(0.2), Linear(head, num_classes))
 
     def __call__(self, P, x, prefix='', training=False):
         x = self.features(P, x, prefix + 'features.', training).mean(axis=(2, 3))
@@ -624,6 +685,192 @@ class InceptionV3F(_Target):
         return (logits, aux) if training else logits
 
 
+class _IncA(FModule):
+    def __init__(self, cin, pool_features, c):
+        super().__init__()
+        self.branch1x1 = _BasicConvBN(cin, c(64), eps=0.001, kernel_size=1)
+        self.branch5x5_1 = _BasicConvBN(cin, c(48), eps=0.001, kernel_size=1)
+        self.branch5x5_2 = _BasicConvBN(c(48), c(64), eps=0.001, kernel_size=5, padding=2)
+        self.branch3x3dbl_1 = _BasicConvBN(cin, c(64), eps=0.001, kernel_size=1)
+        self.branch3x3dbl_2 = _BasicConvBN(c(64), c(96), eps=0.001, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = _BasicConvBN(c(96), c(96), eps=0.001, kernel_size=3, padding=1)
+        self.branch_pool = _BasicConvBN(cin, pool_features, eps=0.001, kernel_size=1)
+        self._avg = AvgPool2d(3, stride=1, padding=1)
+
+    def __call__(self, P, x, prefix='', training=False):
+        b1 = self.branch1x1(P, x, prefix + 'branch1x1.', training)
+        b5 = self.branch5x5_2(P, self.branch5x5_1(P, x, prefix + 'branch5x5_1.', training),
+                              prefix + 'branch5x5_2.', training)
+        bd = self.branch3x3dbl_3(P, self.branch3x3dbl_2(
+            P, self.branch3x3dbl_1(P, x, prefix + 'branch3x3dbl_1.', training),
+            prefix + 'branch3x3dbl_2.', training), prefix + 'branch3x3dbl_3.', training)
+        bp = self.branch_pool(P, self._avg(P, x), prefix + 'branch_pool.', training)
+        return jnp.concatenate([b1, b5, bd, bp], axis=1)
+
+
+class _IncB(FModule):
+    def __init__(self, cin, c):
+        super().__init__()
+        self.branch3x3 = _BasicConvBN(cin, c(384), eps=0.001, kernel_size=3, stride=2)
+        self.branch3x3dbl_1 = _BasicConvBN(cin, c(64), eps=0.001, kernel_size=1)
+        self.branch3x3dbl_2 = _BasicConvBN(c(64), c(96), eps=0.001, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = _BasicConvBN(c(96), c(96), eps=0.001, kernel_size=3, stride=2)
+        self._max = MaxPool2d(3, stride=2)
+
+    def __call__(self, P, x, prefix='', training=False):
+        return jnp.concatenate([
+            self.branch3x3(P, x, prefix + 'branch3x3.', training),
+            self.branch3x3dbl_3(P, self.branch3x3dbl_2(
+                P, self.branch3x3dbl_1(P, x, prefix + 'branch3x3dbl_1.', training),
+                prefix + 'branch3x3dbl_2.', training), prefix + 'branch3x3dbl_3.', training),
+            self._max(P, x)], axis=1)
+
+
+class _IncC(FModule):
+    def __init__(self, cin, c7, c):
+        super().__init__()
+        self.branch1x1 = _BasicConvBN(cin, c(192), eps=0.001, kernel_size=1)
+        self.branch7x7_1 = _BasicConvBN(cin, c7, eps=0.001, kernel_size=1)
+        self.branch7x7_2 = _BasicConvBN(c7, c7, eps=0.001, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7_3 = _BasicConvBN(c7, c(192), eps=0.001, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_1 = _BasicConvBN(cin, c7, eps=0.001, kernel_size=1)
+        self.branch7x7dbl_2 = _BasicConvBN(c7, c7, eps=0.001, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_3 = _BasicConvBN(c7, c7, eps=0.001, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7dbl_4 = _BasicConvBN(c7, c7, eps=0.001, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_5 = _BasicConvBN(c7, c(192), eps=0.001, kernel_size=(1, 7), padding=(0, 3))
+        self.branch_pool = _BasicConvBN(cin, c(192), eps=0.001, kernel_size=1)
+        self._avg = AvgPool2d(3, stride=1, padding=1)
+
+    def __call__(self, P, x, prefix='', training=False):
+        b1 = self.branch1x1(P, x, prefix + 'branch1x1.', training)
+        b7 = self.branch7x7_3(P, self.branch7x7_2(
+            P, self.branch7x7_1(P, x, prefix + 'branch7x7_1.', training),
+            prefix + 'branch7x7_2.', training), prefix + 'branch7x7_3.', training)
+        bd = x
+        for i in range(1, 6):
+            bd = getattr(self, 'branch7x7dbl_%d' % i)(
+                P, bd, prefix + 'branch7x7dbl_%d.' % i, training)
+        bp = self.branch_pool(P, self._avg(P, x), prefix + 'branch_pool.', training)
+        return jnp.concatenate([b1, b7, bd, bp], axis=1)
+
+
+class _IncD(FModule):
+    def __init__(self, cin, c):
+        super().__init__()
+        self.branch3x3_1 = _BasicConvBN(cin, c(192), eps=0.001, kernel_size=1)
+        self.branch3x3_2 = _BasicConvBN(c(192), c(320), eps=0.001, kernel_size=3, stride=2)
+        self.branch7x7x3_1 = _BasicConvBN(cin, c(192), eps=0.001, kernel_size=1)
+        self.branch7x7x3_2 = _BasicConvBN(c(192), c(192), eps=0.001, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7x3_3 = _BasicConvBN(c(192), c(192), eps=0.001, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7x3_4 = _BasicConvBN(c(192), c(192), eps=0.001, kernel_size=3, stride=2)
+        self._max = MaxPool2d(3, stride=2)
+
+    def __call__(self, P, x, prefix='', training=False):
+        b3 = self.branch3x3_2(P, self.branch3x3_1(P, x, prefix + 'branch3x3_1.', training),
+                              prefix + 'branch3x3_2.', training)
+        bd = x
+        for i in range(1, 5):
+            bd = getattr(self, 'branch7x7x3_%d' % i)(
+                P, bd, prefix + 'branch7x7x3_%d.' % i, training)
+        return jnp.concatenate([b3, bd, self._max(P, x)], axis=1)
+
+
+class _IncE(FModule):
+    def __init__(self, cin, c):
+        super().__init__()
+        self.branch1x1 = _BasicConvBN(cin, c(320), eps=0.001, kernel_size=1)
+        self.branch3x3_1 = _BasicConvBN(cin, c(384), eps=0.001, kernel_size=1)
+        self.branch3x3_2a = _BasicConvBN(c(384), c(384), eps=0.001, kernel_size=(1, 3), padding=(0, 1))
+        self.branch3x3_2b = _BasicConvBN(c(384), c(384), eps=0.001, kernel_size=(3, 1), padding=(1, 0))
+        self.branch3x3dbl_1 = _BasicConvBN(cin, c(448), eps=0.001, kernel_size=1)
+        self.branch3x3dbl_2 = _BasicConvBN(c(448), c(384), eps=0.001, kernel_size=3, padding=1)
+        self.branch3x3dbl_3a = _BasicConvBN(c(384), c(384), eps=0.001, kernel_size=(1, 3), padding=(0, 1))
+        self.branch3x3dbl_3b = _BasicConvBN(c(384), c(384), eps=0.001, kernel_size=(3, 1), padding=(1, 0))
+        self.branch_pool = _BasicConvBN(cin, c(192), eps=0.001, kernel_size=1)
+        self._avg = AvgPool2d(3, stride=1, padding=1)
+
+    def __call__(self, P, x, prefix='', training=False):
+        b1 = self.branch1x1(P, x, prefix + 'branch1x1.', training)
+        b3 = self.branch3x3_1(P, x, prefix + 'branch3x3_1.', training)
+        b3 = jnp.concatenate([self.branch3x3_2a(P, b3, prefix + 'branch3x3_2a.', training),
+                              self.branch3x3_2b(P, b3, prefix + 'branch3x3_2b.', training)],
+                             axis=1)
+        bd = self.branch3x3dbl_2(P, self.branch3x3dbl_1(
+            P, x, prefix + 'branch3x3dbl_1.', training), prefix + 'branch3x3dbl_2.', training)
+        bd = jnp.concatenate([self.branch3x3dbl_3a(P, bd, prefix + 'branch3x3dbl_3a.', training),
+                              self.branch3x3dbl_3b(P, bd, prefix + 'branch3x3dbl_3b.', training)],
+                             axis=1)
+        bp = self.branch_pool(P, self._avg(P, x), prefix + 'branch_pool.', training)
+        return jnp.concatenate([b1, b3, bd, bp], axis=1)
+
+
+class _IncV3Aux(FModule):
+    def __init__(self, cin, num_classes, c):
+        super().__init__()
+        self.conv0 = _BasicConvBN(cin, c(128), eps=0.001, kernel_size=1)
+        self.conv1 = _BasicConvBN(c(128), c(768), eps=0.001, kernel_size=5)
+        self.fc = Linear(c(768), num_classes)
+        self._avg = AvgPool2d(5, stride=3)
+
+    def __call__(self, P, x, prefix='', training=False):
+        x = self._avg(P, x)
+        x = self.conv1(P, self.conv0(P, x, prefix + 'conv0.', training),
+                       prefix + 'conv1.', training)
+        return self.fc(P, x.mean(axis=(2, 3)), prefix + 'fc.', training)
+
+
+class InceptionV3ExactF(_Target):
+    """Twin of torch_zoo.inception_v3 (full torchvision Mixed_5b..7c layout)."""
+
+    def __init__(self, num_classes=1000, w=1.0):
+        super().__init__()
+        c = lambda v: v if w == 1.0 else max(4, int(v * w) // 4 * 4)
+        self.num_classes = num_classes
+        self.expected_input_sz = 299
+        self.predicted: Dict[str, jnp.ndarray] = {}
+        self.Conv2d_1a_3x3 = _BasicConvBN(3, c(32), eps=0.001, kernel_size=3, stride=2)
+        self.Conv2d_2a_3x3 = _BasicConvBN(c(32), c(32), eps=0.001, kernel_size=3)
+        self.Conv2d_2b_3x3 = _BasicConvBN(c(32), c(64), eps=0.001, kernel_size=3, padding=1)
+        self.maxpool1 = MaxPool2d(3, stride=2)
+        self.Conv2d_3b_1x1 = _BasicConvBN(c(64), c(80), eps=0.001, kernel_size=1)
+        self.Conv2d_4a_3x3 = _BasicConvBN(c(80), c(192), eps=0.001, kernel_size=3)
+        self.maxpool2 = MaxPool2d(3, stride=2)
+        self.Mixed_5b = _IncA(c(192), c(32), c)
+        self.Mixed_5c = _IncA(c(64) * 2 + c(96) + c(32), c(64), c)
+        c5 = c(64) * 3 + c(96)
+        self.Mixed_5d = _IncA(c5, c(64), c)
+        self.Mixed_6a = _IncB(c5, c)
+        c6 = c(384) + c(96) + c5
+        self.Mixed_6b = _IncC(c6, c(128), c)
+        self.Mixed_6c = _IncC(c6, c(160), c)
+        self.Mixed_6d = _IncC(c6, c(160), c)
+        self.Mixed_6e = _IncC(c6, c(192), c)
+        self.AuxLogits = _IncV3Aux(c6, num_classes, c)
+        self.Mixed_7a = _IncD(c6, c)
+        c7a = c(320) + c(192) + c6
+        self.Mixed_7b = _IncE(c7a, c)
+        c7b = c(320) + 2 * c(384) * 2 + c(192)
+        self.Mixed_7c = _IncE(c7b, c)
+        self.fc = Linear(c7b, num_classes)
+
+    def __call__(self, P, x, prefix='', training=False):
+        for name in ('Conv2d_1a_3x3', 'Conv2d_2a_3x3', 'Conv2d_2b_3x3'):
+            x = getattr(self, name)(P, x, prefix + name + '.', training)
+        x = self.maxpool1(P, x)
+        x = self.Conv2d_4a_3x3(P, self.Conv2d_3b_1x1(
+            P, x, prefix + 'Conv2d_3b_1x1.', training), prefix + 'Conv2d_4a_3x3.', training)
+        x = self.maxpool2(P, x)
+        for name in ('Mixed_5b', 'Mixed_5c', 'Mixed_5d', 'Mixed_6a',
+                     'Mixed_6b', 'Mixed_6c', 'Mixed_6d', 'Mixed_6e'):
+            x = getattr(self, name)(P, x, prefix + name + '.', training)
+        aux = (self.AuxLogits(P, x, prefix + 'AuxLogits.', training)
+               if training else None)
+        for name in ('Mixed_7a', 'Mixed_7b', 'Mixed_7c'):
+            x = getattr(self, name)(P, x, prefix + name + '.', training)
+        logits = self.fc(P, x.mean(axis=(2, 3)), prefix + 'fc.', training)
+        return (logits, aux) if training else logits
+
+
 class _GoogAux(FModule):
     def __init__(self, cin, c128, c1024, num_classes):
         super().__init__()
@@ -678,14 +925,22 @@ class GoogLeNetF(_Target):
         c3b = c(128) + c(192) + c(96) + c(64)
         self.inception4a = _GoogInception(c3b, c(192), c(96), c(208), c(16), c(48), c(64))
         c4a = c(192) + c(208) + c(48) + c(64)
-        self.inception4d = _GoogInception(c4a, c(112), c(144), c(288), c(32), c(64), c(64))
+        self.inception4b = _GoogInception(c4a, c(160), c(112), c(224), c(24), c(64), c(64))
+        c4b = c(160) + c(224) + c(64) + c(64)
+        self.inception4c = _GoogInception(c4b, c(128), c(128), c(256), c(24), c(64), c(64))
+        c4c = c(128) + c(256) + c(64) + c(64)
+        self.inception4d = _GoogInception(c4c, c(112), c(144), c(288), c(32), c(64), c(64))
         c4d = c(112) + c(288) + c(64) + c(64)
+        self.inception4e = _GoogInception(c4d, c(256), c(160), c(320), c(32), c(128), c(128))
+        c4e = c(256) + c(320) + c(128) + c(128)
         self.maxpool4 = MaxPool2d(2, stride=2, ceil_mode=True)
-        self.inception5a = _GoogInception(c4d, c(256), c(160), c(320), c(32), c(128), c(128))
+        self.inception5a = _GoogInception(c4e, c(256), c(160), c(320), c(32), c(128), c(128))
         c5a = c(256) + c(320) + c(128) + c(128)
+        self.inception5b = _GoogInception(c5a, c(384), c(192), c(384), c(48), c(128), c(128))
+        c5b = c(384) + c(384) + c(128) + c(128)
         self.aux1 = _GoogAux(c4a, c(128), c(1024), num_classes)
         self.aux2 = _GoogAux(c4d, c(128), c(1024), num_classes)
-        self.fc = Linear(c5a, num_classes)
+        self.fc = Linear(c5b, num_classes)
 
     def __call__(self, P, x, prefix='', training=False):
         x = self.conv1(P, x, prefix + 'conv1.', training)
@@ -698,9 +953,13 @@ class GoogLeNetF(_Target):
         x = self.maxpool3(P, x)
         x = self.inception4a(P, x, prefix + 'inception4a.', training)
         aux1 = self.aux1(P, x, prefix + 'aux1.', training) if training else None
+        x = self.inception4b(P, x, prefix + 'inception4b.', training)
+        x = self.inception4c(P, x, prefix + 'inception4c.', training)
         x = self.inception4d(P, x, prefix + 'inception4d.', training)
         aux2 = self.aux2(P, x, prefix + 'aux2.', training) if training else None
+        x = self.inception4e(P, x, prefix + 'inception4e.', training)
         x = self.inception5a(P, self.maxpool4(P, x), prefix + 'inception5a.', training)
+        x = self.inception5b(P, x, prefix + 'inception5b.', training)
         logits = self.fc(P, x.mean(axis=(2, 3)), prefix + 'fc.', training)
         return (logits, aux2, aux1) if training else logits
 
@@ -724,7 +983,13 @@ class _MNASInverted(FModule):
 class MNASNetF(_Target):
     def __init__(self, num_classes=1000, w=1.0):
         super().__init__()
-        c = lambda v: max(2, int(v * w))
+
+        def c(v):
+            if w == 1.0:
+                return v
+            val = v * w
+            new = max(8, int(val + 4) // 8 * 8)
+            return new if new >= 0.9 * val else new + 8
         self.num_classes = num_classes
         self.expected_input_sz = 224
         self.predicted: Dict[str, jnp.ndarray] = {}
@@ -747,8 +1012,8 @@ class MNASNetF(_Target):
             stack(d[4], d[5], 3, 1, 6, 2),
             stack(d[5], d[6], 5, 2, 6, 4),
             stack(d[6], d[7], 3, 1, 6, 1),
-            Conv2d(d[7], c(1280), 1, bias=False), BatchNorm2d(c(1280)), ReLU())
-        self.classifier = Sequential(Dropout(0.2), Linear(c(1280), num_classes))
+            Conv2d(d[7], 1280, 1, bias=False), BatchNorm2d(1280), ReLU())
+        self.classifier = Sequential(Dropout(0.2), Linear(1280, num_classes))
 
     def __call__(self, P, x, prefix='', training=False):
         x = self.layers(P, x, prefix + 'layers.', training).mean(axis=(2, 3))
@@ -940,6 +1205,57 @@ class EffNetV2F(_Target):
         return self.classifier(P, x, prefix + 'classifier.', training)
 
 
+class _FusedMBConvSD(FModule):
+    """Exact torchvision FusedMBConv (has a parameter-free 'sd' child)."""
+
+    def __init__(self, cin, cout, stride, expand):
+        super().__init__()
+        mid = cin * expand
+        self.use_res = stride == 1 and cin == cout
+        if expand != 1:
+            mods = [Conv2d(cin, mid, 3, stride=stride, padding=1, bias=False),
+                    BatchNorm2d(mid), SiLU(),
+                    Conv2d(mid, cout, 1, bias=False), BatchNorm2d(cout)]
+        else:
+            mods = [Conv2d(cin, cout, 3, stride=stride, padding=1, bias=False),
+                    BatchNorm2d(cout), SiLU()]
+        self.block = Sequential(*mods)
+
+    def __call__(self, P, x, prefix='', training=False):
+        y = self.block(P, x, prefix + 'block.', training)
+        return x + y if self.use_res else y
+
+
+class EffNetV2ExactF(_Target):
+    """Twin of torch_zoo.efficientnet_v2 (S/M/L stage tables)."""
+
+    def __init__(self, num_classes=1000, w=1.0, variant='efficientnet_v2_s'):
+        super().__init__()
+        from .configs import EFFNET_V2_CFGS
+        cfg = EFFNET_V2_CFGS[variant]
+        rows, head = cfg['rows'], cfg['head']
+        c = lambda v: max(4, int(v * w) // 4 * 4)
+        self.num_classes = num_classes
+        self.expected_input_sz = 224
+        self.predicted: Dict[str, jnp.ndarray] = {}
+        stem = c(rows[0][4])
+        feats = [Conv2d(3, stem, 3, stride=2, padding=1, bias=False),
+                 BatchNorm2d(stem), SiLU()]
+        for kind, t, k, s, cin, cout, n in rows:
+            blk = _FusedMBConvSD if kind == 'fused' else _MBConvV2
+            for i in range(n):
+                feats.append(blk(c(cin) if i == 0 else c(cout), c(cout),
+                                 s if i == 0 else 1, t))
+        feats += [Conv2d(c(rows[-1][5]), c(head), 1, bias=False),
+                  BatchNorm2d(c(head)), SiLU()]
+        self.features = Sequential(*feats)
+        self.classifier = Sequential(Dropout(0.2), Linear(c(head), num_classes))
+
+    def __call__(self, P, x, prefix='', training=False):
+        x = self.features(P, x, prefix + 'features.', training).mean(axis=(2, 3))
+        return self.classifier(P, x, prefix + 'classifier.', training)
+
+
 def _swin_rel_index(window: int):
     import numpy as np
     coords = np.stack(np.meshgrid(np.arange(window), np.arange(window),
@@ -1085,7 +1401,8 @@ class _SEHardF(FModule):
 
     def __init__(self, cin):
         super().__init__()
-        sq = max(8, (cin // 4 + 4) // 8 * 8)
+        from .configs import make_divisible
+        sq = make_divisible(cin // 4, 8)
         self.fc1 = Conv2d(cin, sq, 1)
         self.fc2 = Conv2d(sq, cin, 1)
 
@@ -1118,8 +1435,9 @@ class _MNV3Block(FModule):
 
 
 class MobileNetV3F(_Target):
-    def __init__(self, num_classes=1000, w=1.0):
+    def __init__(self, num_classes=1000, w=1.0, variant='small'):
         super().__init__()
+        from ghn3_tpu.zoo.torch_zoo import MNV3_CFGS
         self.num_classes = num_classes
         self.expected_input_sz = 224
         self.predicted: Dict[str, jnp.ndarray] = {}
@@ -1128,22 +1446,17 @@ class MobileNetV3F(_Target):
             v = int(v * w)
             return max(8, (v + 4) // 8 * 8)
 
-        cfg = [(16, 16, 16, 3, 2, True, False), (16, 72, 24, 3, 2, False, False),
-               (24, 88, 24, 3, 1, False, False), (24, 96, 40, 5, 2, True, True),
-               (40, 240, 40, 5, 1, True, True), (40, 240, 40, 5, 1, True, True),
-               (40, 120, 48, 5, 1, True, True), (48, 144, 48, 5, 1, True, True),
-               (48, 288, 96, 5, 2, True, True), (96, 576, 96, 5, 1, True, True),
-               (96, 576, 96, 5, 1, True, True)]
+        cfg, last_c, hidden_c = MNV3_CFGS[variant]
         feats = [Sequential(Conv2d(3, c8(16), 3, stride=2, padding=1, bias=False),
                             BatchNorm2d(c8(16)), Hardswish())]
         for cin, exp, cout, k, s_, se, hs in cfg:
             feats.append(_MNV3Block(c8(cin), c8(exp), c8(cout), k, s_, se, hs))
-        last = c8(576)
-        feats.append(Sequential(Conv2d(c8(96), last, 1, bias=False),
+        last = c8(last_c)
+        feats.append(Sequential(Conv2d(c8(cfg[-1][2]), last, 1, bias=False),
                                 BatchNorm2d(last), Hardswish()))
         self.features = Sequential(*feats)
-        self.classifier = Sequential(Linear(last, c8(1024)), Hardswish(),
-                                     Dropout(0.2), Linear(c8(1024), num_classes))
+        self.classifier = Sequential(Linear(last, c8(hidden_c)), Hardswish(),
+                                     Dropout(0.2), Linear(c8(hidden_c), num_classes))
 
     def __call__(self, P, x, prefix='', training=False):
         x = self.features(P, x, prefix + 'features.', training).mean(axis=(2, 3))
@@ -1203,9 +1516,46 @@ JAX_ZOO = {
 }
 
 from .configs import REGNET_PARAMS as _REGNET_PARAMS  # noqa: E402
+from .configs import EFFICIENTNET_V1_MULTS as _EFF_V1  # noqa: E402
+from .configs import EFFNET_V2_CFGS as _EFF_V2  # noqa: E402
+from .configs import CONVNEXT_CFGS as _CONVNEXT  # noqa: E402
+from .configs import SWIN_CFGS as _SWIN  # noqa: E402
 
 for _v in _REGNET_PARAMS:
     if _v not in JAX_ZOO:
         JAX_ZOO[_v] = (lambda num_classes=1000, w=1.0, _v=_v:
                        RegNetF(num_classes, w, variant=_v))
+for _v in _EFF_V1:
+    JAX_ZOO[_v] = (lambda num_classes=1000, w=1.0, _v=_v:
+                   EffNetV1F(num_classes, w, variant=_v))
+for _v in _EFF_V2:
+    JAX_ZOO[_v] = (lambda num_classes=1000, w=1.0, _v=_v:
+                   EffNetV2ExactF(num_classes, w, variant=_v))
+for _v in _CONVNEXT:
+    JAX_ZOO[_v] = (lambda num_classes=1000, _v=_v:
+                   ConvNeXtF(num_classes, dims=_CONVNEXT[_v][1],
+                             depths=_CONVNEXT[_v][0]))
+for _v in ('swin_s', 'swin_b'):
+    JAX_ZOO[_v] = (lambda num_classes=1000, _v=_v:
+                   SwinF(num_classes, embed_dim=_SWIN[_v][0],
+                         depths=_SWIN[_v][1], heads=_SWIN[_v][2]))
 del _v
+
+JAX_ZOO.update({
+    'densenet161': lambda num_classes=1000: DenseNetF(
+        num_classes, growth=48, block_config=(6, 12, 36, 24), init_features=96),
+    'mobilenet_v3_large': lambda num_classes=1000, w=1.0: MobileNetV3F(
+        num_classes, w=w, variant='large'),
+    'squeezenet1_0': lambda num_classes=1000: SqueezeNetF(
+        num_classes, version='1_0'),
+    'mnasnet0_75': lambda num_classes=1000: MNASNetF(num_classes, w=0.75),
+    'resnext101_64x4d': lambda num_classes=1000: ResNetF(
+        'bottleneck', (3, 4, 23, 3), width=4, groups=64, num_classes=num_classes),
+    'shufflenet_v2_x1_5': lambda num_classes=1000, w=1.0: ShuffleNetV2F(
+        num_classes, w=w, variant='x1_5'),
+    'vgg11_bn': lambda num_classes=1000: vgg16_bn_f(num_classes, depth=11),
+    'vgg16': lambda num_classes=1000, w=1.0: vgg11_f(num_classes, w=w, depth=16),
+    'vit_l_32': lambda num_classes=1000: ViTF(num_classes=num_classes, dim=1024,
+                                              depth=24, heads=16, patch=32),
+    'inception_v3': InceptionV3ExactF,
+})

@@ -217,9 +217,9 @@ def vgg16_bn(num_classes=1000, depth=16):
         def __init__(self):
             super().__init__()
             self.features = nn.Sequential(*layers)
-            self.avgpool = nn.AdaptiveAvgPool2d(1)
+            self.avgpool = nn.AdaptiveAvgPool2d((7, 7))
             self.classifier = nn.Sequential(
-                nn.Linear(512, 4096), nn.ReLU(inplace=True), nn.Dropout(),
+                nn.Linear(512 * 49, 4096), nn.ReLU(inplace=True), nn.Dropout(),
                 nn.Linear(4096, 4096), nn.ReLU(inplace=True), nn.Dropout(),
                 nn.Linear(4096, num_classes))
             self.expected_input_sz = 224
@@ -291,8 +291,9 @@ def mobilenet_v2(num_classes=1000, width_mult=1.0):
     return MobileNetV2()
 
 
-def squeezenet1_1(num_classes=1000):
-    """SqueezeNet 1.1 (Iandola et al. 2016): fire modules, conv classifier."""
+def squeezenet1_1(num_classes=1000, version='1_1'):
+    """SqueezeNet (Iandola et al. 2016): fire modules, conv classifier.
+    1.0 uses a 7x7/96 stem and later pool positions (torchvision layout)."""
     torch, nn, F = _torch()
 
     class Fire(nn.Module):
@@ -315,15 +316,28 @@ def squeezenet1_1(num_classes=1000):
     class SqueezeNet(_SqueezeBase):
         def __init__(self):
             nn.Module.__init__(self)
-            self.features = nn.Sequential(
-                nn.Conv2d(3, 64, 3, stride=2), nn.ReLU(inplace=True),
-                nn.MaxPool2d(3, stride=2, ceil_mode=True),
-                Fire(64, 16, 64, 64), Fire(128, 16, 64, 64),
-                nn.MaxPool2d(3, stride=2, ceil_mode=True),
-                Fire(128, 32, 128, 128), Fire(256, 32, 128, 128),
-                nn.MaxPool2d(3, stride=2, ceil_mode=True),
-                Fire(256, 48, 192, 192), Fire(384, 48, 192, 192),
-                Fire(384, 64, 256, 256), Fire(512, 64, 256, 256))
+            if version == '1_0':
+                feats = [
+                    nn.Conv2d(3, 96, 7, stride=2), nn.ReLU(inplace=True),
+                    nn.MaxPool2d(3, stride=2, ceil_mode=True),
+                    Fire(96, 16, 64, 64), Fire(128, 16, 64, 64),
+                    Fire(128, 32, 128, 128),
+                    nn.MaxPool2d(3, stride=2, ceil_mode=True),
+                    Fire(256, 32, 128, 128), Fire(256, 48, 192, 192),
+                    Fire(384, 48, 192, 192), Fire(384, 64, 256, 256),
+                    nn.MaxPool2d(3, stride=2, ceil_mode=True),
+                    Fire(512, 64, 256, 256)]
+            else:
+                feats = [
+                    nn.Conv2d(3, 64, 3, stride=2), nn.ReLU(inplace=True),
+                    nn.MaxPool2d(3, stride=2, ceil_mode=True),
+                    Fire(64, 16, 64, 64), Fire(128, 16, 64, 64),
+                    nn.MaxPool2d(3, stride=2, ceil_mode=True),
+                    Fire(128, 32, 128, 128), Fire(256, 32, 128, 128),
+                    nn.MaxPool2d(3, stride=2, ceil_mode=True),
+                    Fire(256, 48, 192, 192), Fire(384, 48, 192, 192),
+                    Fire(384, 64, 256, 256), Fire(512, 64, 256, 256)]
+            self.features = nn.Sequential(*feats)
             self.classifier = nn.Sequential(
                 nn.Dropout(0.5), nn.Conv2d(512, num_classes, 1), nn.ReLU(inplace=True))
             self.expected_input_sz = 224
@@ -335,8 +349,10 @@ def squeezenet1_1(num_classes=1000):
     return SqueezeNet()
 
 
-def densenet121(num_classes=1000, growth=32, block_config=(6, 12, 24, 16)):
-    """DenseNet (Huang et al. 2017): dense blocks + transition layers."""
+def densenet121(num_classes=1000, growth=32, block_config=(6, 12, 24, 16),
+                init_features=64):
+    """DenseNet (Huang et al. 2017): dense blocks + transition layers.
+    densenet161 uses growth 48 with 96 initial features (torchvision)."""
     torch, nn, F = _torch()
 
     class DenseLayer(nn.Module):
@@ -371,7 +387,7 @@ def densenet121(num_classes=1000, growth=32, block_config=(6, 12, 24, 16)):
     class DenseNet(nn.Module):
         def __init__(self):
             super().__init__()
-            c = 64
+            c = init_features
             feats = [nn.Conv2d(3, c, 7, stride=2, padding=3, bias=False),
                      nn.BatchNorm2d(c), nn.ReLU(inplace=True),
                      nn.MaxPool2d(3, stride=2, padding=1)]
@@ -453,6 +469,86 @@ def efficientnet_b0ish(num_classes=1000):
 
 
 
+
+
+def efficientnet_v1(variant='efficientnet_b0', num_classes=1000, w=1.0):
+    """EfficientNet B0-B7 (Tan & Le 2019), torchvision layout: compound-scaled
+    MBConv stages (zoo/configs.py) with squeeze-excitation computed from the
+    UNexpanded block input (squeeze = max(1, cin//4)) and a stochastic-depth
+    ramp to 0.2 across blocks. The reference sweeps these via torchvision
+    (/root/reference/eval_ghn.py:73-91); param counts pinned in tests."""
+    torch, nn, F = _torch()
+    from .configs import efficientnet_v1_config
+    stem, rows, head = efficientnet_v1_config(variant, w)
+
+    class StochasticDepth(nn.Module):
+        def __init__(self, p):
+            super().__init__()
+            self.p = p
+
+        def forward(self, x):
+            if not self.training or self.p == 0.0:
+                return x
+            keep = 1.0 - self.p
+            noise = torch.empty([x.shape[0], 1, 1, 1], dtype=x.dtype, device=x.device)
+            noise.bernoulli_(keep).div_(keep)
+            return x * noise
+
+    class SE(nn.Module):
+        def __init__(self, c, squeeze):
+            super().__init__()
+            self.avgpool = nn.AdaptiveAvgPool2d(1)
+            self.fc1 = nn.Conv2d(c, squeeze, 1)
+            self.fc2 = nn.Conv2d(squeeze, c, 1)
+
+        def forward(self, x):
+            s = self.fc2(F.silu(self.fc1(self.avgpool(x))))
+            return x * torch.sigmoid(s)
+
+    class MBConv(nn.Module):
+        def __init__(self, cin, cout, stride, expand, k, sd_prob):
+            super().__init__()
+            hidden = cin * expand
+            self.use_res = stride == 1 and cin == cout
+            layers = []
+            if expand != 1:
+                layers += [nn.Conv2d(cin, hidden, 1, bias=False),
+                           nn.BatchNorm2d(hidden), nn.SiLU(inplace=True)]
+            layers += [nn.Conv2d(hidden, hidden, k, stride, k // 2, groups=hidden,
+                                 bias=False),
+                       nn.BatchNorm2d(hidden), nn.SiLU(inplace=True),
+                       SE(hidden, max(1, cin // 4)),
+                       nn.Conv2d(hidden, cout, 1, bias=False), nn.BatchNorm2d(cout)]
+            self.block = nn.Sequential(*layers)
+            self.sd = StochasticDepth(sd_prob)
+
+        def forward(self, x):
+            return x + self.sd(self.block(x)) if self.use_res else self.block(x)
+
+    total_blocks = sum(r[5] for r in rows)
+
+    class EffNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            feats = [nn.Conv2d(3, stem, 3, stride=2, padding=1, bias=False),
+                     nn.BatchNorm2d(stem), nn.SiLU(inplace=True)]
+            block_id = 0
+            for t, k, s, cin, cout, n in rows:
+                for i in range(n):
+                    feats.append(MBConv(cin if i == 0 else cout, cout,
+                                        s if i == 0 else 1, t, k,
+                                        0.2 * block_id / total_blocks))
+                    block_id += 1
+            feats += [nn.Conv2d(rows[-1][4], head, 1, bias=False),
+                      nn.BatchNorm2d(head), nn.SiLU(inplace=True)]
+            self.features = nn.Sequential(*feats)
+            self.classifier = nn.Sequential(nn.Dropout(0.2), nn.Linear(head, num_classes))
+            self.expected_input_sz = 224
+
+        def forward(self, x):
+            return self.classifier(self.features(x).mean(dim=(2, 3)))
+
+    return EffNet()
 
 
 def convnext_tiny_ish(num_classes=1000, dims=(96, 192, 384, 768), depths=(2, 2, 4, 2)):
@@ -575,6 +671,181 @@ def inception_v3ish(num_classes=1000, c=32):
             aux = self.AuxLogits(x) if self.training else None
             x = self.mixed3(x)
             logits = self.fc(x.mean(dim=(2, 3)))
+            return (logits, aux) if self.training else logits
+
+    return Inception3()
+
+
+def inception_v3(num_classes=1000, w=1.0):
+    """Inception-v3 (Szegedy 2016), full torchvision layout: Mixed_5b..7c with
+    asymmetric 1x7/7x1 factorized convs, InceptionAux in training mode, 299px
+    inputs (the reference special-cases Inception3 at graph.py:325 and
+    eval_ghn). Param count (27,161,264 with aux) pinned in tests."""
+    torch, nn, F = _torch()
+    try:  # subclass torchvision's class so isinstance-gated handling engages
+        from torchvision.models import Inception3 as _InceptionBase
+    except ImportError:
+        _InceptionBase = nn.Module
+    c = lambda v: v if w == 1.0 else max(4, int(v * w) // 4 * 4)
+
+    class BasicConv2d(nn.Module):
+        def __init__(self, cin, cout, **kw):
+            super().__init__()
+            self.conv = nn.Conv2d(cin, cout, bias=False, **kw)
+            self.bn = nn.BatchNorm2d(cout, eps=0.001)
+
+        def forward(self, x):
+            return F.relu(self.bn(self.conv(x)), inplace=True)
+
+    class InceptionA(nn.Module):
+        def __init__(self, cin, pool_features):
+            super().__init__()
+            self.branch1x1 = BasicConv2d(cin, c(64), kernel_size=1)
+            self.branch5x5_1 = BasicConv2d(cin, c(48), kernel_size=1)
+            self.branch5x5_2 = BasicConv2d(c(48), c(64), kernel_size=5, padding=2)
+            self.branch3x3dbl_1 = BasicConv2d(cin, c(64), kernel_size=1)
+            self.branch3x3dbl_2 = BasicConv2d(c(64), c(96), kernel_size=3, padding=1)
+            self.branch3x3dbl_3 = BasicConv2d(c(96), c(96), kernel_size=3, padding=1)
+            self.branch_pool = BasicConv2d(cin, pool_features, kernel_size=1)
+
+        def forward(self, x):
+            b1 = self.branch1x1(x)
+            b5 = self.branch5x5_2(self.branch5x5_1(x))
+            b3 = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+            bp = self.branch_pool(F.avg_pool2d(x, 3, stride=1, padding=1))
+            return torch.cat([b1, b5, b3, bp], 1)
+
+    class InceptionB(nn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.branch3x3 = BasicConv2d(cin, c(384), kernel_size=3, stride=2)
+            self.branch3x3dbl_1 = BasicConv2d(cin, c(64), kernel_size=1)
+            self.branch3x3dbl_2 = BasicConv2d(c(64), c(96), kernel_size=3, padding=1)
+            self.branch3x3dbl_3 = BasicConv2d(c(96), c(96), kernel_size=3, stride=2)
+
+        def forward(self, x):
+            return torch.cat([
+                self.branch3x3(x),
+                self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+                F.max_pool2d(x, 3, stride=2)], 1)
+
+    class InceptionC(nn.Module):
+        def __init__(self, cin, c7):
+            super().__init__()
+            self.branch1x1 = BasicConv2d(cin, c(192), kernel_size=1)
+            self.branch7x7_1 = BasicConv2d(cin, c7, kernel_size=1)
+            self.branch7x7_2 = BasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+            self.branch7x7_3 = BasicConv2d(c7, c(192), kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7dbl_1 = BasicConv2d(cin, c7, kernel_size=1)
+            self.branch7x7dbl_2 = BasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7dbl_3 = BasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+            self.branch7x7dbl_4 = BasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7dbl_5 = BasicConv2d(c7, c(192), kernel_size=(1, 7), padding=(0, 3))
+            self.branch_pool = BasicConv2d(cin, c(192), kernel_size=1)
+
+        def forward(self, x):
+            b1 = self.branch1x1(x)
+            b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+            bd = self.branch7x7dbl_5(self.branch7x7dbl_4(self.branch7x7dbl_3(
+                self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
+            bp = self.branch_pool(F.avg_pool2d(x, 3, stride=1, padding=1))
+            return torch.cat([b1, b7, bd, bp], 1)
+
+    class InceptionD(nn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.branch3x3_1 = BasicConv2d(cin, c(192), kernel_size=1)
+            self.branch3x3_2 = BasicConv2d(c(192), c(320), kernel_size=3, stride=2)
+            self.branch7x7x3_1 = BasicConv2d(cin, c(192), kernel_size=1)
+            self.branch7x7x3_2 = BasicConv2d(c(192), c(192), kernel_size=(1, 7), padding=(0, 3))
+            self.branch7x7x3_3 = BasicConv2d(c(192), c(192), kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7x3_4 = BasicConv2d(c(192), c(192), kernel_size=3, stride=2)
+
+        def forward(self, x):
+            return torch.cat([
+                self.branch3x3_2(self.branch3x3_1(x)),
+                self.branch7x7x3_4(self.branch7x7x3_3(self.branch7x7x3_2(
+                    self.branch7x7x3_1(x)))),
+                F.max_pool2d(x, 3, stride=2)], 1)
+
+    class InceptionE(nn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.branch1x1 = BasicConv2d(cin, c(320), kernel_size=1)
+            self.branch3x3_1 = BasicConv2d(cin, c(384), kernel_size=1)
+            self.branch3x3_2a = BasicConv2d(c(384), c(384), kernel_size=(1, 3), padding=(0, 1))
+            self.branch3x3_2b = BasicConv2d(c(384), c(384), kernel_size=(3, 1), padding=(1, 0))
+            self.branch3x3dbl_1 = BasicConv2d(cin, c(448), kernel_size=1)
+            self.branch3x3dbl_2 = BasicConv2d(c(448), c(384), kernel_size=3, padding=1)
+            self.branch3x3dbl_3a = BasicConv2d(c(384), c(384), kernel_size=(1, 3), padding=(0, 1))
+            self.branch3x3dbl_3b = BasicConv2d(c(384), c(384), kernel_size=(3, 1), padding=(1, 0))
+            self.branch_pool = BasicConv2d(cin, c(192), kernel_size=1)
+
+        def forward(self, x):
+            b1 = self.branch1x1(x)
+            b3 = self.branch3x3_1(x)
+            b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+            bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+            bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
+            bp = self.branch_pool(F.avg_pool2d(x, 3, stride=1, padding=1))
+            return torch.cat([b1, b3, bd, bp], 1)
+
+    class InceptionAux(nn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.conv0 = BasicConv2d(cin, c(128), kernel_size=1)
+            self.conv1 = BasicConv2d(c(128), c(768), kernel_size=5)
+            self.fc = nn.Linear(c(768), num_classes)
+
+        def forward(self, x):
+            x = F.avg_pool2d(x, 5, stride=3)
+            x = self.conv1(self.conv0(x))
+            x = F.adaptive_avg_pool2d(x, (1, 1))
+            return self.fc(torch.flatten(x, 1))
+
+    class Inception3(_InceptionBase):
+        def __init__(self):
+            nn.Module.__init__(self)
+            self.Conv2d_1a_3x3 = BasicConv2d(3, c(32), kernel_size=3, stride=2)
+            self.Conv2d_2a_3x3 = BasicConv2d(c(32), c(32), kernel_size=3)
+            self.Conv2d_2b_3x3 = BasicConv2d(c(32), c(64), kernel_size=3, padding=1)
+            self.maxpool1 = nn.MaxPool2d(3, stride=2)
+            self.Conv2d_3b_1x1 = BasicConv2d(c(64), c(80), kernel_size=1)
+            self.Conv2d_4a_3x3 = BasicConv2d(c(80), c(192), kernel_size=3)
+            self.maxpool2 = nn.MaxPool2d(3, stride=2)
+            self.Mixed_5b = InceptionA(c(192), c(32))
+            self.Mixed_5c = InceptionA(c(64) * 2 + c(96) + c(32), c(64))
+            c5 = c(64) * 3 + c(96)
+            self.Mixed_5d = InceptionA(c5, c(64))
+            self.Mixed_6a = InceptionB(c5)
+            c6 = c(384) + c(96) + c5
+            self.Mixed_6b = InceptionC(c6, c(128))
+            self.Mixed_6c = InceptionC(c6, c(160))
+            self.Mixed_6d = InceptionC(c6, c(160))
+            self.Mixed_6e = InceptionC(c6, c(192))
+            self.AuxLogits = InceptionAux(c6)
+            self.Mixed_7a = InceptionD(c6)
+            c7a = c(320) + c(192) + c6
+            self.Mixed_7b = InceptionE(c7a)
+            c7b = c(320) + 2 * c(384) * 2 + c(192)
+            self.Mixed_7c = InceptionE(c7b)
+            self.avgpool = nn.AdaptiveAvgPool2d((1, 1))
+            self.dropout = nn.Dropout(0.5)
+            self.fc = nn.Linear(c7b, num_classes)
+            self.expected_input_sz = 299
+
+        def forward(self, x):
+            x = self.Conv2d_2b_3x3(self.Conv2d_2a_3x3(self.Conv2d_1a_3x3(x)))
+            x = self.maxpool1(x)
+            x = self.Conv2d_4a_3x3(self.Conv2d_3b_1x1(x))
+            x = self.maxpool2(x)
+            x = self.Mixed_5d(self.Mixed_5c(self.Mixed_5b(x)))
+            x = self.Mixed_6a(x)
+            x = self.Mixed_6e(self.Mixed_6d(self.Mixed_6c(self.Mixed_6b(x))))
+            aux = self.AuxLogits(x) if self.training else None
+            x = self.Mixed_7c(self.Mixed_7b(self.Mixed_7a(x)))
+            x = self.dropout(self.avgpool(x))
+            logits = self.fc(torch.flatten(x, 1))
             return (logits, aux) if self.training else logits
 
     return Inception3()
@@ -703,16 +974,24 @@ def googlenet(num_classes=1000, w=1.0):
             c3b = c(128) + c(192) + c(96) + c(64)
             self.inception4a = Inception(c3b, c(192), c(96), c(208), c(16), c(48), c(64))
             c4a = c(192) + c(208) + c(48) + c(64)
-            self.inception4d = Inception(c4a, c(112), c(144), c(288), c(32), c(64), c(64))
+            self.inception4b = Inception(c4a, c(160), c(112), c(224), c(24), c(64), c(64))
+            c4b = c(160) + c(224) + c(64) + c(64)
+            self.inception4c = Inception(c4b, c(128), c(128), c(256), c(24), c(64), c(64))
+            c4c = c(128) + c(256) + c(64) + c(64)
+            self.inception4d = Inception(c4c, c(112), c(144), c(288), c(32), c(64), c(64))
             c4d = c(112) + c(288) + c(64) + c(64)
+            self.inception4e = Inception(c4d, c(256), c(160), c(320), c(32), c(128), c(128))
+            c4e = c(256) + c(320) + c(128) + c(128)
             self.maxpool4 = nn.MaxPool2d(2, stride=2, ceil_mode=True)
-            self.inception5a = Inception(c4d, c(256), c(160), c(320), c(32), c(128), c(128))
+            self.inception5a = Inception(c4e, c(256), c(160), c(320), c(32), c(128), c(128))
             c5a = c(256) + c(320) + c(128) + c(128)
+            self.inception5b = Inception(c5a, c(384), c(192), c(384), c(48), c(128), c(128))
+            c5b = c(384) + c(384) + c(128) + c(128)
             self.aux1 = InceptionAux(c4a)
             self.aux2 = InceptionAux(c4d)
             self.avgpool = nn.AdaptiveAvgPool2d((1, 1))
             self.dropout = nn.Dropout(0.2)
-            self.fc = nn.Linear(c5a, num_classes)
+            self.fc = nn.Linear(c5b, num_classes)
             self.expected_input_sz = 224
 
         def forward(self, x):
@@ -720,9 +999,11 @@ def googlenet(num_classes=1000, w=1.0):
             x = self.maxpool3(self.inception3b(self.inception3a(x)))
             x = self.inception4a(x)
             aux1 = self.aux1(x) if self.training else None
+            x = self.inception4c(self.inception4b(x))
             x = self.inception4d(x)
             aux2 = self.aux2(x) if self.training else None
-            x = self.inception5a(self.maxpool4(x))
+            x = self.inception4e(x)
+            x = self.inception5b(self.inception5a(self.maxpool4(x)))
             x = self.dropout(torch.flatten(self.avgpool(x), 1))
             logits = self.fc(x)
             return (logits, aux2, aux1) if self.training else logits
@@ -732,9 +1013,17 @@ def googlenet(num_classes=1000, w=1.0):
 
 def mnasnet1_0(num_classes=1000, w=1.0):
     """MNASNet (Tan 2018), torchvision layout: one flat `layers` Sequential of
-    stem + inverted-residual stacks, then `classifier`."""
+    stem + inverted-residual stacks, then `classifier`. Depths are scaled with
+    torchvision's _round_to_multiple_of (divisor 8, 0.9 round-up bias); the
+    final 1280 conv is never scaled."""
     torch, nn, F = _torch()
-    c = lambda v: max(2, int(v * w))
+
+    def c(v):
+        if w == 1.0:
+            return v
+        val = v * w
+        new = max(8, int(val + 4) // 8 * 8)
+        return new if new >= 0.9 * val else new + 8
 
     class InvertedResidual(nn.Module):
         def __init__(self, cin, cout, ks, stride, expansion):
@@ -772,9 +1061,9 @@ def mnasnet1_0(num_classes=1000, w=1.0):
                 stack(d[4], d[5], 3, 1, 6, 2),
                 stack(d[5], d[6], 5, 2, 6, 4),
                 stack(d[6], d[7], 3, 1, 6, 1),
-                nn.Conv2d(d[7], c(1280), 1, bias=False),
-                nn.BatchNorm2d(c(1280)), nn.ReLU(inplace=True))
-            self.classifier = nn.Sequential(nn.Dropout(0.2), nn.Linear(c(1280), num_classes))
+                nn.Conv2d(d[7], 1280, 1, bias=False),
+                nn.BatchNorm2d(1280), nn.ReLU(inplace=True))
+            self.classifier = nn.Sequential(nn.Dropout(0.2), nn.Linear(1280, num_classes))
             self.expected_input_sz = 224
 
         def forward(self, x):
@@ -1030,10 +1319,142 @@ def efficientnet_v2_s_ish(num_classes=1000, w=1.0):
     return EffNetV2()
 
 
-def mobilenet_v3_small(num_classes=1000, w=1.0):
-    """MobileNetV3-Small (Howard 2019), torchvision layout: inverted residuals
-    with hard-sigmoid squeeze-excitation and hardswish/relu activation mix —
-    exercises the hardsigmoid autograd path no other family hits."""
+def efficientnet_v2(variant='efficientnet_v2_s', num_classes=1000, w=1.0):
+    """EfficientNetV2 S/M/L (Tan & Le 2021), torchvision layout: FusedMBConv
+    early stages then SE MBConv stages, per-block stochastic-depth ramp.
+    Stage tables in zoo/configs.py; param counts pinned in tests."""
+    torch, nn, F = _torch()
+    from .configs import EFFNET_V2_CFGS
+    cfg = EFFNET_V2_CFGS[variant]
+    rows, head = cfg['rows'], cfg['head']
+    sd_max = {'efficientnet_v2_s': 0.2, 'efficientnet_v2_m': 0.3,
+              'efficientnet_v2_l': 0.4}[variant]
+    c = lambda v: max(4, int(v * w) // 4 * 4)
+
+    class StochasticDepth(nn.Module):
+        def __init__(self, p):
+            super().__init__()
+            self.p = p
+
+        def forward(self, x):
+            if not self.training or self.p == 0.0:
+                return x
+            keep = 1.0 - self.p
+            noise = torch.empty([x.shape[0], 1, 1, 1], dtype=x.dtype, device=x.device)
+            noise.bernoulli_(keep).div_(keep)
+            return x * noise
+
+    class SE(nn.Module):
+        def __init__(self, cin, squeeze):
+            super().__init__()
+            self.avgpool = nn.AdaptiveAvgPool2d(1)
+            self.fc1 = nn.Conv2d(cin, squeeze, 1)
+            self.fc2 = nn.Conv2d(squeeze, cin, 1)
+
+        def forward(self, x):
+            s = self.fc2(F.silu(self.fc1(self.avgpool(x))))
+            return x * torch.sigmoid(s)
+
+    class FusedMBConv(nn.Module):
+        def __init__(self, cin, cout, stride, expand, sd_prob):
+            super().__init__()
+            mid = cin * expand
+            self.use_res = stride == 1 and cin == cout
+            if expand != 1:
+                block = [nn.Conv2d(cin, mid, 3, stride=stride, padding=1, bias=False),
+                         nn.BatchNorm2d(mid), nn.SiLU(inplace=True),
+                         nn.Conv2d(mid, cout, 1, bias=False), nn.BatchNorm2d(cout)]
+            else:
+                block = [nn.Conv2d(cin, cout, 3, stride=stride, padding=1, bias=False),
+                         nn.BatchNorm2d(cout), nn.SiLU(inplace=True)]
+            self.block = nn.Sequential(*block)
+            self.sd = StochasticDepth(sd_prob)
+
+        def forward(self, x):
+            y = self.block(x)
+            return x + self.sd(y) if self.use_res else y
+
+    class MBConv(nn.Module):
+        def __init__(self, cin, cout, stride, expand, sd_prob):
+            super().__init__()
+            mid = cin * expand
+            self.use_res = stride == 1 and cin == cout
+            self.block = nn.Sequential(
+                nn.Conv2d(cin, mid, 1, bias=False), nn.BatchNorm2d(mid), nn.SiLU(inplace=True),
+                nn.Conv2d(mid, mid, 3, stride=stride, padding=1, groups=mid, bias=False),
+                nn.BatchNorm2d(mid), nn.SiLU(inplace=True),
+                SE(mid, max(1, cin // 4)),
+                nn.Conv2d(mid, cout, 1, bias=False), nn.BatchNorm2d(cout))
+            self.sd = StochasticDepth(sd_prob)
+
+        def forward(self, x):
+            y = self.block(x)
+            return x + self.sd(y) if self.use_res else y
+
+    total_blocks = sum(r[6] for r in rows)
+
+    class EffNetV2(nn.Module):
+        def __init__(self):
+            super().__init__()
+            stem = c(rows[0][4])
+            feats = [nn.Conv2d(3, stem, 3, stride=2, padding=1, bias=False),
+                     nn.BatchNorm2d(stem), nn.SiLU(inplace=True)]
+            block_id = 0
+            for kind, t, k, s, cin, cout, n in rows:
+                blk = FusedMBConv if kind == 'fused' else MBConv
+                for i in range(n):
+                    feats.append(blk(c(cin) if i == 0 else c(cout), c(cout),
+                                     s if i == 0 else 1, t,
+                                     sd_max * block_id / total_blocks))
+                    block_id += 1
+            feats += [nn.Conv2d(c(rows[-1][5]), c(head), 1, bias=False),
+                      nn.BatchNorm2d(c(head)), nn.SiLU(inplace=True)]
+            self.features = nn.Sequential(*feats)
+            self.classifier = nn.Sequential(nn.Dropout(0.2), nn.Linear(c(head), num_classes))
+            self.expected_input_sz = 224
+
+        def forward(self, x):
+            return self.classifier(self.features(x).mean(dim=(2, 3)))
+
+    return EffNetV2()
+
+
+# (cin, exp, cout, kernel, stride, SE, hardswish) rows + (last, hidden)
+MNV3_CFGS = {
+    'small': ([(16, 16, 16, 3, 2, True, False),
+               (16, 72, 24, 3, 2, False, False),
+               (24, 88, 24, 3, 1, False, False),
+               (24, 96, 40, 5, 2, True, True),
+               (40, 240, 40, 5, 1, True, True),
+               (40, 240, 40, 5, 1, True, True),
+               (40, 120, 48, 5, 1, True, True),
+               (48, 144, 48, 5, 1, True, True),
+               (48, 288, 96, 5, 2, True, True),
+               (96, 576, 96, 5, 1, True, True),
+               (96, 576, 96, 5, 1, True, True)], 576, 1024),
+    'large': ([(16, 16, 16, 3, 1, False, False),
+               (16, 64, 24, 3, 2, False, False),
+               (24, 72, 24, 3, 1, False, False),
+               (24, 72, 40, 5, 2, True, False),
+               (40, 120, 40, 5, 1, True, False),
+               (40, 120, 40, 5, 1, True, False),
+               (40, 240, 80, 3, 2, False, True),
+               (80, 200, 80, 3, 1, False, True),
+               (80, 184, 80, 3, 1, False, True),
+               (80, 184, 80, 3, 1, False, True),
+               (80, 480, 112, 3, 1, True, True),
+               (112, 672, 112, 3, 1, True, True),
+               (112, 672, 160, 5, 2, True, True),
+               (160, 960, 160, 5, 1, True, True),
+               (160, 960, 160, 5, 1, True, True)], 960, 1280),
+}
+
+
+def mobilenet_v3_small(num_classes=1000, w=1.0, variant='small'):
+    """MobileNetV3 Small/Large (Howard 2019), torchvision layout: inverted
+    residuals with hard-sigmoid squeeze-excitation and hardswish/relu
+    activation mix — exercises the hardsigmoid autograd path no other family
+    hits. Param counts pinned against torchvision in tests."""
     torch, nn, F = _torch()
 
     def c8(v):
@@ -1043,7 +1464,8 @@ def mobilenet_v3_small(num_classes=1000, w=1.0):
     class SE(nn.Module):
         def __init__(self, cin):
             super().__init__()
-            sq = max(8, (cin // 4 + 4) // 8 * 8)
+            from .configs import make_divisible
+            sq = make_divisible(cin // 4, 8)
             self.fc1 = nn.Conv2d(cin, sq, 1)
             self.fc2 = nn.Conv2d(sq, cin, 1)
 
@@ -1073,18 +1495,7 @@ def mobilenet_v3_small(num_classes=1000, w=1.0):
             y = self.block(x)
             return x + y if self.use_res else y
 
-    # (cin, exp, cout, kernel, stride, SE, hardswish) — mobilenet_v3_small rows
-    cfg = [(16, 16, 16, 3, 2, True, False),
-           (16, 72, 24, 3, 2, False, False),
-           (24, 88, 24, 3, 1, False, False),
-           (24, 96, 40, 5, 2, True, True),
-           (40, 240, 40, 5, 1, True, True),
-           (40, 240, 40, 5, 1, True, True),
-           (40, 120, 48, 5, 1, True, True),
-           (48, 144, 48, 5, 1, True, True),
-           (48, 288, 96, 5, 2, True, True),
-           (96, 576, 96, 5, 1, True, True),
-           (96, 576, 96, 5, 1, True, True)]
+    cfg, last_c, hidden_c = MNV3_CFGS[variant]
 
     class MobileNetV3(nn.Module):
         def __init__(self):
@@ -1094,14 +1505,14 @@ def mobilenet_v3_small(num_classes=1000, w=1.0):
                                    nn.BatchNorm2d(c8(16)), nn.Hardswish(inplace=True))]
             for cin, exp, cout, k, s, se, hs in cfg:
                 feats.append(InvertedResidual(c8(cin), c8(exp), c8(cout), k, s, se, hs))
-            last = c8(576)
-            feats.append(nn.Sequential(nn.Conv2d(c8(96), last, 1, bias=False),
+            last = c8(last_c)
+            feats.append(nn.Sequential(nn.Conv2d(c8(cfg[-1][2]), last, 1, bias=False),
                                        nn.BatchNorm2d(last), nn.Hardswish(inplace=True)))
             self.features = nn.Sequential(*feats)
             self.avgpool = nn.AdaptiveAvgPool2d(1)
             self.classifier = nn.Sequential(
-                nn.Linear(last, c8(1024)), nn.Hardswish(inplace=True),
-                nn.Dropout(0.2), nn.Linear(c8(1024), num_classes))
+                nn.Linear(last, c8(hidden_c)), nn.Hardswish(inplace=True),
+                nn.Dropout(0.2), nn.Linear(c8(hidden_c), num_classes))
             self.expected_input_sz = 224
 
         def forward(self, x):
@@ -1316,11 +1727,49 @@ TORCH_ZOO = {
         num_classes, width_mult=1.4),
 }
 
-# RegNet-X/Y released variants, widths from the shared quantized generator
+# Families whose released variants come from shared generator tables
 from .configs import REGNET_PARAMS as _REGNET_PARAMS  # noqa: E402
+from .configs import EFFICIENTNET_V1_MULTS as _EFF_V1  # noqa: E402
+from .configs import EFFNET_V2_CFGS as _EFF_V2  # noqa: E402
+from .configs import CONVNEXT_CFGS as _CONVNEXT  # noqa: E402
+from .configs import SWIN_CFGS as _SWIN  # noqa: E402
 
 for _v in _REGNET_PARAMS:
     if _v not in TORCH_ZOO:
         TORCH_ZOO[_v] = (lambda num_classes=1000, w=1.0, _v=_v:
                          regnet(_v, num_classes, w))
+for _v in _EFF_V1:
+    TORCH_ZOO[_v] = (lambda num_classes=1000, w=1.0, _v=_v:
+                     efficientnet_v1(_v, num_classes, w))
+for _v in _EFF_V2:
+    TORCH_ZOO[_v] = (lambda num_classes=1000, w=1.0, _v=_v:
+                     efficientnet_v2(_v, num_classes, w))
+for _v in _CONVNEXT:
+    TORCH_ZOO[_v] = (lambda num_classes=1000, _v=_v:
+                     convnext_tiny_ish(num_classes, dims=_CONVNEXT[_v][1],
+                                       depths=_CONVNEXT[_v][0]))
+for _v in ('swin_s', 'swin_b'):
+    TORCH_ZOO[_v] = (lambda num_classes=1000, _v=_v:
+                     swin_t(num_classes, embed_dim=_SWIN[_v][0],
+                            depths=_SWIN[_v][1], heads=_SWIN[_v][2],
+                            stochastic_depth_prob=_SWIN[_v][3]))
 del _v
+
+TORCH_ZOO.update({
+    'densenet161': lambda num_classes=1000: densenet121(
+        num_classes, growth=48, block_config=(6, 12, 36, 24), init_features=96),
+    'mobilenet_v3_large': lambda num_classes=1000, w=1.0: mobilenet_v3_small(
+        num_classes, w=w, variant='large'),
+    'squeezenet1_0': lambda num_classes=1000: squeezenet1_1(
+        num_classes, version='1_0'),
+    'mnasnet0_75': lambda num_classes=1000: mnasnet1_0(num_classes, w=0.75),
+    'resnext101_64x4d': lambda num_classes=1000: _make_resnet(
+        'bottleneck', [3, 4, 23, 3], width=4, groups=64, num_classes=num_classes),
+    'shufflenet_v2_x1_5': lambda num_classes=1000, w=1.0: shufflenet_v2_x1_0(
+        num_classes, w=w, variant='x1_5'),
+    'vgg11_bn': lambda num_classes=1000: vgg16_bn(num_classes, depth=11),
+    'vgg16': lambda num_classes=1000, w=1.0: vgg11(num_classes, w=w, depth=16),
+    'vit_l_32': lambda num_classes=1000: vit_b_16(num_classes, dim=1024,
+                                                  depth=24, heads=16, patch=32),
+    'inception_v3': inception_v3,
+})

@@ -29,6 +29,12 @@ SMALL = {
     'shufflenet_v2_x1_0': dict(w=0.25),
     'regnet_y_400mf': dict(w=0.5),
     'regnet_x_800mf': dict(w=0.25),
+    'inception_v3': dict(w=0.25),
+    'mobilenet_v3_large': dict(w=0.5),
+    'squeezenet1_0': dict(),
+    'efficientnet_b0': dict(w=0.5),
+    'efficientnet_v2_s': dict(w=0.25),
+    'convnext_tiny': dict(),
     'efficientnet_v2_s_ish': dict(w=0.25),
     'swin_t': dict(embed_dim=16, depths=(2, 2), heads=(2, 2), window=4,
                    input_sz=128),
@@ -44,6 +50,8 @@ SMALL = {
 
 def _input_size(name):
     if name == 'swin_t':
+        return 128
+    if name == 'inception_v3':
         return 128
     return 96 if name == 'inception_v3ish' else 64
 

@@ -23,7 +23,10 @@ NEW_KWARGS = {'alexnet': dict(w=0.25), 'vgg11': dict(w=0.25),
               'shufflenet_v2_x1_0': dict(w=0.25), 'regnet_y_400mf': dict(w=0.25),
               'regnet_x_400mf': dict(w=0.25),
               'efficientnet_v2_s_ish': dict(w=0.25),
-              'mobilenet_v3_small': dict(w=0.5), 'resnext50_32x4d': {}}
+              'mobilenet_v3_small': dict(w=0.5), 'resnext50_32x4d': {},
+              'inception_v3': dict(w=0.25), 'mobilenet_v3_large': dict(w=0.5),
+              'squeezenet1_0': {}, 'efficientnet_b0': dict(w=0.5),
+              'efficientnet_v2_m': dict(w=0.25)}
 NEW_FAMILIES = sorted(NEW_KWARGS)
 
 
@@ -48,7 +51,7 @@ def _small(name):
     m = TORCH_ZOO[name](**kwargs)
     if name == 'vit_b_16':
         m.expected_input_sz = 32
-    elif name != 'inception_v3ish':   # inception keeps its 299px default
+    elif not name.startswith('inception'):   # inception keeps its 299px default
         m.expected_input_sz = 64
     m.train()   # aux-head families trace their training-mode graphs
     return m
@@ -151,6 +154,36 @@ def test_regnet_generator_matches_published_tables():
     for name, want in counts.items():
         m = TORCH_ZOO[name](num_classes=1000)
         assert sum(p.numel() for p in m.parameters()) == want, name
+
+
+def test_param_counts_match_torchvision():
+    """Full-size parameter counts pinned against torchvision's published model
+    summaries — one representative per generated/scaled family. This is the
+    structural-fidelity guarantee the zero-egress environment permits (graph
+    byte-parity vs the reference builder is tested separately)."""
+    counts = {
+        'efficientnet_b0': 5288548, 'efficientnet_b3': 12233232,
+        'efficientnet_b7': 66347960,
+        'efficientnet_v2_s': 21458488, 'efficientnet_v2_m': 54139356,
+        'efficientnet_v2_l': 118515272,
+        'convnext_tiny': 28589128, 'convnext_base': 88591464,
+        'swin_t': 28288354, 'swin_s': 49606258, 'swin_b': 87768224,
+        'densenet161': 28681000,
+        'mobilenet_v3_small': 2542856, 'mobilenet_v3_large': 5483032,
+        'squeezenet1_0': 1248424, 'squeezenet1_1': 1235496,
+        'mnasnet0_5': 2218512, 'mnasnet0_75': 3170208,
+        'mnasnet1_0': 4383312, 'mnasnet1_3': 6282256,
+        'resnext101_64x4d': 83455272, 'shufflenet_v2_x1_5': 3503624,
+        'vgg11_bn': 132868840, 'vgg16_bn': 138365992, 'vgg16': 138357544,
+        'googlenet': 13004888,      # fresh torchvision construction w/ both aux
+        'inception_v3': 27161264,   # with AuxLogits
+        'resnet50': 25557032, 'densenet121': 7978856, 'mobilenet_v2': 3504872,
+        'alexnet': 61100840,
+    }
+    for name, want in counts.items():
+        m = TORCH_ZOO[name](num_classes=1000)
+        got = sum(p.numel() for p in m.parameters())
+        assert got == want, (name, got, want)
 
 
 @pytest.mark.skipif(not reference_available(), reason='reference repo not mounted')
