@@ -45,6 +45,46 @@ def _flops(compiled) -> float:
         return 0.0
 
 
+def _warm_one(args):
+    """Worker: trace one zoo model into the shared graph disk cache.
+    Runs in a spawned process; forces CPU so it never touches the TPU the
+    parent holds."""
+    name, ve_cutoff = args
+    import os as _os
+    _os.environ['JAX_PLATFORMS'] = 'cpu'
+    import sys as _sys
+    repo = _os.path.dirname(_os.path.abspath(__file__))
+    if repo not in _sys.path:
+        _sys.path.insert(0, repo)
+    from ghn3_tpu.graph.cache import cached_graph
+    from ghn3_tpu.graph.torch_trace import trace_torch_model
+    from ghn3_tpu.zoo.torch_zoo import TORCH_ZOO
+    cached_graph(name, lambda: trace_torch_model(TORCH_ZOO[name](),
+                                                 ve_cutoff=ve_cutoff),
+                 ve_cutoff=ve_cutoff)
+    return name
+
+
+def warm_graph_cache(names, ve_cutoff):
+    """Parallel host graph compilation: tracing is single-threaded python/torch
+    per model (~1-20 s each), so fan the first-run sweep out over processes.
+    Subsequent runs hit the disk cache and skip this entirely."""
+    from ghn3_tpu.graph.cache import CACHE_VERSION, _default_dir
+    pending = [n for n in names
+               if not os.path.exists(os.path.join(
+                   _default_dir(), f'{n}_ve{ve_cutoff}_v{CACHE_VERSION}.pkl'))]
+    if len(pending) <= 2:
+        return
+    try:
+        import multiprocessing as mp
+        ctx = mp.get_context('spawn')
+        workers = min(len(pending), max(2, (os.cpu_count() or 8) - 2))
+        with ctx.Pool(workers) as pool:
+            pool.map(_warm_one, [(n, ve_cutoff) for n in pending])
+    except Exception:
+        pass  # sequential path below still builds everything
+
+
 def predict_suite(jax):
     from ghn3_tpu import GHN3, GHNConfig
     from ghn3_tpu import predict as P
@@ -56,7 +96,12 @@ def predict_suite(jax):
     from ghn3_tpu.zoo.torch_zoo import TORCH_ZOO
 
     suite = sorted(TORCH_ZOO)
-    cfg = GHNConfig.ghn3_xl()
+    sub = os.environ.get('GHN3_BENCH_SUITE', '')
+    if sub:   # debug/smoke: comma-separated names or a count prefix
+        suite = (sub.split(',') if ',' in sub or not sub.isdigit()
+                 else sorted(suite, key=lambda n: n)[:int(sub)])
+    cfg = (GHNConfig(hid=32, heads=2, layers=2, max_shape=(64, 64, 11, 11))
+           if os.environ.get('GHN3_BENCH_CFG') == 'small' else GHNConfig.ghn3_xl())
     # init on CPU (avoids a dozen TPU init-program compiles), then one transfer
     with jax.default_device(jax.devices('cpu')[0]):
         ghn = GHN3(cfg, seed=0)
@@ -64,12 +109,15 @@ def predict_suite(jax):
     ghn.params = {k: jax.device_put(v, device) for k, v in ghn.params.items()}
 
     t0 = time.time()
-    models = {n: TORCH_ZOO[n]() for n in suite}
-    graphs = {n: cached_graph(n, lambda n=n: trace_torch_model(models[n],
-                                                               ve_cutoff=cfg.ve_cutoff),
-                              ve_cutoff=cfg.ve_cutoff) for n in suite}
+    warm_graph_cache(suite, cfg.ve_cutoff)
+    # torch models are constructed lazily (graph-cache misses only) so the
+    # sweep never holds 79 full-size torch nets (~13 GB of weights) in RAM;
+    # shape tables come from the JAX twins, which declare shapes without arrays
+    graphs = {n: cached_graph(n, lambda n=n: trace_torch_model(
+        TORCH_ZOO[n](), ve_cutoff=cfg.ve_cutoff), ve_cutoff=cfg.ve_cutoff)
+        for n in suite}
     tables = {n: (JAX_ZOO[n]().param_table() if n in JAX_ZOO
-                  else torch_param_table(models[n])) for n in suite}
+                  else torch_param_table(TORCH_ZOO[n]())) for n in suite}
     t_graphs = time.time() - t0
 
     # chunk the suite so each packed-output program fits HBM (21 full-size
@@ -77,7 +125,10 @@ def predict_suite(jax):
     names = sorted(suite, key=lambda n: graphs[n].n_nodes)
     param_count = {n: sum(int(np.prod(r.sz)) for cell in tables[n]
                           for r in cell.values()) for n in names}
-    budget = 220e6
+    # 220M params/chunk OOMed by ~260MB on the 79-arch suite (decode temps
+    # scale with per-chunk group count); 150M keeps every packed program
+    # comfortably under the 15.75G HBM budget
+    budget = float(os.environ.get('GHN3_BENCH_BUDGET', 150e6))
     chunks, cur, acc = [], [], 0
     for n in names:
         if cur and acc + param_count[n] > budget:

@@ -75,9 +75,20 @@ def main():
         suite = deepnets_suite(args, ghn)
 
     data = None
+    data_by_imsize = {}
     try:
         data = image_loader(args.dataset, args.data_dir, imsize=args.imsize, split='val',
                             noise=args.noise, crop_pct=args.crop_pct)
+        # Inception expects 299px inputs: build a dedicated loader like the
+        # reference does (eval_ghn.py im_size=299 branch)
+        sizes = {getattr(net, 'expected_input_sz', 224) for _, net in suite.values()}
+        for sz in sorted(sizes - {args.imsize}):
+            try:
+                data_by_imsize[sz] = image_loader(
+                    args.dataset, args.data_dir, imsize=sz, split='val',
+                    noise=args.noise, crop_pct=args.crop_pct)
+            except (FileNotFoundError, NotImplementedError):
+                pass
     except (FileNotFoundError, NotImplementedError) as e:
         log(f'no eval data available ({e}); running norm checks only')
 
@@ -91,7 +102,8 @@ def main():
 
     results = predict_and_eval_suite(ghn, suite, data=data,
                                      batch_size=args.val_batch_size,
-                                     metadata_name=meta_name)
+                                     metadata_name=meta_name,
+                                     data_by_imsize=data_by_imsize)
 
     if args.save_ckpt:
         # export predicted weights per architecture (reference --save_ckpt)

@@ -41,11 +41,15 @@ def infer(model, params, data, batch_size: int = 64, max_batches: Optional[int] 
 
 def predict_and_eval_suite(ghn, suite: Dict[str, tuple], data=None, batch_size: int = 64,
                            max_batches: Optional[int] = None, norm_tol: float = 1e-2,
-                           metadata_name: Optional[str] = None) -> List[dict]:
+                           metadata_name: Optional[str] = None,
+                           data_by_imsize: Optional[Dict[int, object]] = None) -> List[dict]:
     """Predict parameters for a suite of (torch graph source, functional twin)
     pairs, run norm checks and optionally top-1/top-5 eval.
 
     :param suite: {arch: (graph_def_or_builder, functional_net)}
+    :param data_by_imsize: optional {imsize: DataSource} overrides; a net whose
+        ``expected_input_sz`` matches a key evaluates on that loader (the
+        reference builds a separate 299px loader for Inception, eval_ghn.py)
     """
     from .graph.graphdef import GraphBatch, bucket_size
     from .predict import predict_packed
@@ -87,9 +91,11 @@ def predict_and_eval_suite(ghn, suite: Dict[str, tuple], data=None, batch_size: 
                 row['paramnorm_expected'] = expected
                 row['norm_check'] = (expected is not None and
                                      abs(expected - row['paramnorm']) < norm_tol)
-            if data is not None:
-                top1, top5 = infer(net, net.predicted, data, batch_size=batch_size,
-                                   max_batches=max_batches)
+            eval_data = (data_by_imsize or {}).get(
+                getattr(net, 'expected_input_sz', 224), data)
+            if eval_data is not None:
+                top1, top5 = infer(net, net.predicted, eval_data,
+                                   batch_size=batch_size, max_batches=max_batches)
                 row['top1'], row['top5'] = top1, top5
             results.append(row)
             log(' | '.join(f'{k}={v}' for k, v in row.items()))

@@ -14,7 +14,9 @@ from typing import Callable, Optional
 
 from .graphdef import GraphDef
 
-CACHE_VERSION = 1
+# v2: zoo structures changed in round 2 (full googlenet trunk, 7x7 VGG-BN
+# classifier, MNASNet rounding, exact torchvision variants)
+CACHE_VERSION = 2
 
 
 def _default_dir() -> str:

@@ -114,6 +114,45 @@ def tile_params(w: np.ndarray, target_shape: Sequence[int],
     return w
 
 
+def tile_params_flat(w, target_shape: Sequence[int], corner: bool = False):
+    """Device-layout-friendly tile_params for 4-D conv targets: produces the
+    SAME elements in C-order but shaped (t0, t1*kh*kw).
+
+    Rationale: XLA/TPU lays the two minormost dims of a tensor out in (8,128)
+    tiles, so any large (..., cout, cin, 3, 3) intermediate pads 3 -> 128 lanes
+    (~57x its logical HBM size — observed 8.2 GB for one regnet_y_32gf grouped
+    conv run). Cropping the kernel while it is still small, then tiling channels
+    on a flattened (cout, cin*kh*kw) view, keeps every intermediate at ~1x.
+    Semantics match tile_params exactly (center/corner crops, cyclic channel
+    tiling); equality is unit-tested element-for-element.
+    """
+    import jax.numpy as jnp
+    t = tuple(int(v) for v in target_shape)
+    assert len(t) == 4 and w.ndim == 4, (t, w.shape)
+    s = w.shape
+    s2, s3 = min(t[2], s[2]), min(t[3], s[3])
+    if corner:
+        w = w[:, :, :s2, :s3]
+    else:
+        off = (s[2] // 2, s[3] // 2)
+        w = w[:, :, off[0] - s2 // 2: off[0] + int(math.ceil(s2 / 2)),
+              off[1] - s3 // 2: off[1] + int(math.ceil(s3 / 2))]
+    s = w.shape
+    khkw = s[2] * s[3]
+    w2 = w.reshape(s[0], s[1] * khkw)
+    if t[0] > s[0]:
+        w2 = jnp.take(w2, jnp.arange(t[0]) % s[0], axis=0)
+    else:
+        w2 = w2[:t[0]]
+    if t[1] > s[1]:
+        idx = ((jnp.arange(t[1]) % s[1])[:, None] * khkw
+               + jnp.arange(khkw)[None, :]).reshape(-1)
+        w2 = jnp.take(w2, idx, axis=1)
+    else:
+        w2 = w2[:, :t[1] * khkw]
+    return w2
+
+
 def normalize_params(p: np.ndarray, is_w: bool) -> np.ndarray:
     """Fan-in renormalization of a predicted tensor (reference `_normalize`,
     nn.py:554-592, applied when weight_norm=True)."""

@@ -37,7 +37,7 @@ from .config import GHNConfig
 from .graph.graphdef import GraphBatch
 from .models import ghn_core
 from .models.shape_encoder import tables_for
-from .ops.assembly import decode_key, normalize_params, tile_params
+from .ops.assembly import decode_key, normalize_params, tile_params, tile_params_flat
 
 
 # A target parameter record: shape, weight/bias flag, and a setter receiving the
@@ -241,6 +241,12 @@ def _emit_blocks(decoded, items_sig, weight_norm: bool, corner: bool = False):
                     block = _normalize_block(block, sz, is_w and pair_it == 0)
                 out.append((start, count, sz, pair_it, block))
         else:
+            if len(sz) == 4 and not isinstance(decoded, np.ndarray) \
+                    and getattr(sub, 'ndim', 0) == 5:
+                # device path: flat tiling keeps kernel dims out of the two
+                # minormost layout positions (assembly.tile_params_flat)
+                tile = jax.vmap(lambda t, sz=sz: tile_params_flat(
+                    t, sz, corner=corner))
             block = tile(sub)
             if weight_norm:
                 block = _normalize_block(block, sz, is_w)

@@ -17,6 +17,7 @@ def _run(args, timeout=420):
     return out.stdout
 
 
+@pytest.mark.slow
 def test_train_ghn_cli(tmp_path):
     out = _run(['cli/train_ghn.py', '-d', 'synthetic', '-e', '1', '-m', '2',
                 '--hid', '16', '--heads', '2', '--layers', '1', '--ln',
@@ -27,6 +28,7 @@ def test_train_ghn_cli(tmp_path):
     assert 'loss=' in out
 
 
+@pytest.mark.slow
 def test_train_net_cli_with_ghn_init(tmp_path):
     # save a tiny GHN checkpoint, then train a convnet from its predicted init
     code = ("import jax; jax.config.update('jax_platforms','cpu');"

@@ -100,3 +100,41 @@ def test_ghn2_experimental_construction():
     ghn = GHN3(GHNConfig(hid=16, heads=2, layers=1, is_ghn2=True,
                          max_shape=(16, 16, 11, 11)))
     assert ghn.config.is_ghn2
+
+
+def test_graph_visualize_smoke(tmp_path):
+    # reference graph.py:983 visualize parity surface: renders the DAG colored
+    # by primitive and saves to disk
+    import torch
+    from ghn3_tpu.graph.torch_trace import trace_torch_model
+    from ghn3_tpu.zoo.torch_zoo import TORCH_ZOO
+    torch.manual_seed(0)
+    m = TORCH_ZOO['resnet18'](num_classes=10)
+    m.expected_input_sz = 32
+    g = trace_torch_model(m)
+    out = tmp_path / 'graph.png'
+    g.visualize(figname=str(out))
+    assert out.exists() and out.stat().st_size > 1000
+
+
+def test_tile_params_flat_equals_tile_params():
+    # the device-layout-friendly tiler must match tile_params element-for-element
+    import jax.numpy as jnp
+    from ghn3_tpu.ops.assembly import tile_params, tile_params_flat
+    rng = np.random.default_rng(0)
+    cases = [
+        ((8, 8, 11, 11), (16, 24, 3, 3)),    # channel tiling both axes
+        ((8, 8, 11, 11), (4, 6, 3, 3)),      # cropping both axes
+        ((8, 8, 11, 11), (20, 8, 1, 1)),     # 1x1 kernel, cout tiling
+        ((8, 8, 11, 11), (8, 8, 11, 11)),    # identity
+        ((8, 8, 11, 11), (12, 20, 1, 7)),    # asymmetric kernel (inception)
+        ((8, 8, 11, 11), (12, 20, 5, 5)),
+        ((4, 4, 16, 16), (10, 3, 7, 1)),
+    ]
+    for s, t in cases:
+        w = rng.normal(size=s).astype(np.float32)
+        for corner in (False, True):
+            ref = tile_params(w, t, corner=corner)
+            flat = np.asarray(tile_params_flat(jnp.asarray(w), t, corner=corner))
+            np.testing.assert_array_equal(flat.reshape(-1), np.asarray(ref).reshape(-1),
+                                          err_msg=f'{s}->{t} corner={corner}')
