@@ -388,7 +388,13 @@ def run_plan(params, cfg: GHNConfig, x_flat, plan: DecodePlan,
                     decoded, items_sig, weight_norm, corner=cfg.is_ghn2):
                 for j in range(count):
                     item = items[start + j]
-                    item.record.set_fn(block[j], bool(item.record.is_w) and pair_it == 0)
+                    val = block[j]
+                    if len(sz) == 4 and val.ndim == 2:
+                        # flat-tiled conv block (tile_params_flat): restore the
+                        # target shape; inside the trace this reshape fuses into
+                        # the consuming conv
+                        val = val.reshape(sz)
+                    item.record.set_fn(val, bool(item.record.is_w) and pair_it == 0)
         return
 
     if to_host:
