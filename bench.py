@@ -102,6 +102,9 @@ def predict_suite(jax):
                  else sorted(suite, key=lambda n: n)[:int(sub)])
     cfg = (GHNConfig(hid=32, heads=2, layers=2, max_shape=(64, 64, 11, 11))
            if os.environ.get('GHN3_BENCH_CFG') == 'small' else GHNConfig.ghn3_xl())
+    if os.environ.get('GHN3_BENCH_DTYPE'):   # e.g. bfloat16 speed-mode sweep
+        import dataclasses
+        cfg = dataclasses.replace(cfg, dtype=os.environ['GHN3_BENCH_DTYPE'])
     # init on CPU (avoids a dozen TPU init-program compiles), then one transfer
     with jax.default_device(jax.devices('cpu')[0]):
         ghn = GHN3(cfg, seed=0)
@@ -141,6 +144,10 @@ def predict_suite(jax):
                for chunk in chunks]
 
     def run_sweep():
+        # NOTE: double-buffering chunks (keeping two packed buffers live to
+        # overlap host prep with device exec) measured WORSE on chip (313 vs
+        # 380 models/s) — allocator pressure outweighs the overlap; the decode
+        # matmuls already run near the fp32-highest ceiling
         for chunk, batch in batches:
             views = P.predict_packed(ghn.params, cfg, batch,
                                      [tables[n] for n in chunk])
