@@ -206,3 +206,34 @@ def test_convnext_partial_coverage_matches_reference():
     total = sum(p.numel() for p in m.parameters())
     ls = sum(p.numel() for n, p in m.named_parameters() if 'layer_scale' in n)
     assert stats['n_params_pred'] == total - ls
+
+
+def test_sweep_covers_all_74_metadata_archs():
+    """Every architecture in the md5-pinned results table (the reference's
+    --split torch sweep, eval_ghn.py:73-91) must exist in BOTH zoos so the
+    framework can predict AND evaluate the full split."""
+    from ghn3_tpu.metadata import get_metadata
+    from ghn3_tpu.zoo.jax_zoo import JAX_ZOO
+    norms = get_metadata('ghn3xlm16.pt', attr='paramnorm')
+    assert len(norms) == 74
+    missing_torch = sorted(set(norms) - set(TORCH_ZOO))
+    missing_jax = sorted(set(norms) - set(JAX_ZOO))
+    assert not missing_torch, missing_torch
+    assert not missing_jax, missing_jax
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('name', ['efficientnet_b0', 'regnet_x_800mf',
+                                  'inception_v3', 'mobilenet_v3_large'])
+def test_full_size_plan_covers_everything(name):
+    """Full-size (num_classes=1000) plan coverage for new-family entries: the
+    GHN predicts every parameter at the real scale, not just the test scale."""
+    m = TORCH_ZOO[name](num_classes=1000)
+    m.train()
+    g = trace_torch_model(m)
+    cfg = GHNConfig(hid=16, heads=2, layers=1, max_shape=(16, 16, 11, 11),
+                    num_classes=1000)
+    plan = build_plan(GraphBatch.from_graphs([g]), [torch_param_table(m)], cfg,
+                      sanity_check=True)
+    total = sum(p.numel() for p in m.parameters())
+    assert plan_stats(plan)['n_params_pred'] == total
