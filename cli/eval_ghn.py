@@ -24,16 +24,23 @@ from ghn3_tpu.utils.logging import log
 
 def torch_suite(args, ghn):
     """(graph builder, functional twin) pairs for the torch-zoo architectures."""
+    from ghn3_tpu.evaluate import adjust_net_f
     from ghn3_tpu.graph.torch_trace import trace_torch_model
+    from ghn3_tpu.torch_interop import adjust_net
     from ghn3_tpu.zoo.jax_zoo import JAX_ZOO
     from ghn3_tpu.zoo.torch_zoo import TORCH_ZOO
     suite = {}
     cutoff = ghn.config.ve_cutoff if ghn.config.ve else 1
+    small = args.dataset.startswith('cifar')
     names = [args.arch] if args.arch in JAX_ZOO else list(JAX_ZOO)
     for name in names:
         tm = TORCH_ZOO[name](num_classes=args.num_classes)
+        twin = JAX_ZOO[name](num_classes=args.num_classes)
+        if small:   # reference eval_ghn.py:145 adjust_net for 32px inputs
+            tm = adjust_net(tm)
+            twin = adjust_net_f(twin)
         suite[name] = (lambda tm=tm: trace_torch_model(tm, ve_cutoff=cutoff),
-                       JAX_ZOO[name](num_classes=args.num_classes))
+                       twin)
     return suite
 
 

@@ -100,3 +100,26 @@ def predict_and_eval_suite(ghn, suite: Dict[str, tuple], data=None, batch_size: 
             results.append(row)
             log(' | '.join(f'{k}={v}' for k, v in row.items()))
     return results
+
+
+def adjust_net_f(net, large_input: bool = False):
+    """Small-image surgery for functional twins — the JAX side of
+    torch_interop.adjust_net (reference eval_ghn.py:145): first strided conv
+    -> stride 1, first max-pool -> identity, so CIFAR eval matches the
+    reference's adjusted-model graphs."""
+    from .nets.functional import Conv2d, MaxPool2d
+
+    net.expected_input_sz = 224 if large_input else 32
+    if large_input:
+        return net
+    done_conv = done_pool = False
+    for _, m in net.named_modules():
+        if not done_conv and isinstance(m, Conv2d) and max(m.stride) > 1:
+            m.stride = (1, 1)
+            done_conv = True
+        elif done_conv and not done_pool and isinstance(m, MaxPool2d):
+            m.k, m.s, m.pad = 1, 1, 0
+            done_pool = True
+        if done_conv and done_pool:
+            break
+    return net

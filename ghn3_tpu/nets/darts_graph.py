@@ -76,8 +76,13 @@ class _Builder:
                     op=op, sz=sz,
                     is_last_weight=i == n - 2 and name.endswith('.weight'),
                     is_last_bias=i == n - 1 and name.endswith('.bias')))
-        return GraphDef(node_op=node_op, adj=adj, node_info=node_info,
-                        param_shapes=list(self.shapes))
+        g = GraphDef(node_op=node_op, adj=adj, node_info=node_info,
+                     param_shapes=list(self.shapes))
+        # full per-node provenance for dataset writers (deepnets1m_writer):
+        # param/op names and owning cell for EVERY node, not just param nodes
+        g.builder_meta = {'names': list(self.names), 'ops': list(self.ops),
+                          'cells': list(self.cells)}
+        return g
 
 
 def _conv_kind(cin: int, groups: int, dilation: int) -> str:

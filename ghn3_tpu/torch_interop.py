@@ -89,3 +89,29 @@ def total_param_norm(model) -> float:
     with torch.no_grad():
         norms = torch.stack([p.norm() for p in model.parameters()])
         return float(torch.norm(norms, 2).item())
+
+
+def adjust_net(model, large_input: bool = False):
+    """Small-image model surgery (reference eval_ghn.py:145, eval.py:39 via
+    ppuda.utils.adjust_net): for 32x32-style inputs, relax the 224px stem —
+    set the first strided conv's stride to 1 and disable the first max-pool —
+    so torchvision-scale models evaluate on CIFAR without collapsing the
+    spatial dims. Sets ``expected_input_sz`` accordingly and returns the model.
+    """
+    import torch.nn as nn
+
+    model.expected_input_sz = 224 if large_input else 32
+    if large_input:
+        return model
+
+    done_conv = done_pool = False
+    for m in model.modules():
+        if not done_conv and isinstance(m, nn.Conv2d) and max(m.stride) > 1:
+            m.stride = (1, 1)
+            done_conv = True
+        elif done_conv and not done_pool and isinstance(m, nn.MaxPool2d):
+            m.kernel_size, m.stride, m.padding = 1, 1, 0
+            done_pool = True
+        if done_conv and done_pool:
+            break
+    return model

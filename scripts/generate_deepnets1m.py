@@ -1,0 +1,43 @@
+#!/usr/bin/env python
+"""Generate a DeepNets-1M-format architecture dataset (published ppuda hdf5 +
+metadata layout) with the constructive graph builder — no torch, no downloads.
+
+The reference distributes deepnets1m_*.hdf5 as downloads; this script makes GHN
+meta-training self-contained in offline environments:
+
+  python scripts/generate_deepnets1m.py --out ./data -n 10000 --val 500
+  python cli/train_ghn.py -d cifar10 -D ./data ...
+
+Records round-trip byte-identically through data/deepnets1m.DeepNets1M
+(tests/test_deepnets.py::test_writer_loader_roundtrip).
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--out', default='./data')
+    ap.add_argument('-n', '--num-train', type=int, default=1000)
+    ap.add_argument('--val', type=int, default=100)
+    ap.add_argument('--num-classes', type=int, default=10)
+    ap.add_argument('--imagenet', action='store_true',
+                    help='imagenet-style stems / large-image geometry')
+    ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--ve', type=int, default=50)
+    args = ap.parse_args()
+
+    from ghn3_tpu.data.deepnets1m_writer import write_dataset
+    out = write_dataset(args.out, n_train=args.num_train, n_val=args.val,
+                        num_classes=args.num_classes, imagenet=args.imagenet,
+                        seed=args.seed, ve_cutoff=args.ve,
+                        log_every=max(1, args.num_train // 10))
+    print(f'wrote DeepNets-1M-format dataset ({args.num_train} train / '
+          f'{args.val} val) to {out}')
+
+
+if __name__ == '__main__':
+    main()

@@ -173,3 +173,26 @@ def test_node_budget_sampler(dataset):
     b0 = next(iter(s0))
     b1 = next(iter(s1))
     assert not (set(b0) & set(b1))
+
+
+def test_writer_loader_roundtrip(tmp_path):
+    """deepnets1m_writer output (published hdf5/meta layout) loads through
+    DeepNets1M and decodes to graphs byte-identical to the constructive builder
+    — dataset generation is self-contained, no downloads (scripts/
+    generate_deepnets1m.py)."""
+    import numpy as np
+    from ghn3_tpu.data.deepnets1m import DeepNets1M
+    from ghn3_tpu.data.deepnets1m_writer import write_dataset
+    from ghn3_tpu.nets.darts_graph import build_genotype_graph
+
+    out = write_dataset(str(tmp_path), n_train=8, n_val=2, seed=3)
+    ds = DeepNets1M(split='train', nets_dir=out, virtual_edges=50, num_nets=8,
+                    debug=True)
+    assert len(ds) == 8
+    for i in range(len(ds)):
+        g = ds[i]
+        g2 = build_genotype_graph(num_classes=10, is_imagenet_input=False,
+                                  ve_cutoff=50, **g.net_args)
+        assert g.n_nodes == g2.n_nodes, i
+        np.testing.assert_array_equal(g.node_op, g2.node_op, err_msg=str(i))
+        np.testing.assert_array_equal(g.adj, g2.adj, err_msg=str(i))

@@ -83,3 +83,27 @@ def test_reduce_graph_equivalence():
     for k in net_a.predicted:
         np.testing.assert_allclose(np.asarray(net_a.predicted[k]),
                                    np.asarray(net_b.predicted[k]), atol=1e-6, err_msg=k)
+
+
+def test_adjust_net_pair_matches():
+    """adjust_net (torch) and adjust_net_f (twin) perform the same surgery:
+    adjusted twin forward == adjusted torch forward at 32px."""
+    import torch
+    import jax.numpy as jnp
+    from ghn3_tpu.evaluate import adjust_net_f
+    from ghn3_tpu.torch_interop import adjust_net, set_bn_eval_without_stats
+    from ghn3_tpu.zoo.jax_zoo import JAX_ZOO
+    from ghn3_tpu.zoo.torch_zoo import TORCH_ZOO
+
+    torch.manual_seed(0)
+    m = adjust_net(TORCH_ZOO['resnet18'](num_classes=10))
+    twin = adjust_net_f(JAX_ZOO['resnet18'](num_classes=10))
+    assert m.expected_input_sz == twin.expected_input_sz == 32
+    P = {n: jnp.asarray(p.detach().numpy()) for n, p in m.named_parameters()}
+    x = np.random.default_rng(0).normal(size=(2, 3, 32, 32)).astype(np.float32)
+    m.eval()
+    set_bn_eval_without_stats(m)
+    with torch.no_grad():
+        out_t = m(torch.from_numpy(x)).numpy()
+    out_j = np.asarray(twin(P, jnp.asarray(x), training=False))
+    np.testing.assert_allclose(out_j, out_t, atol=2e-4, rtol=2e-3)
