@@ -673,8 +673,12 @@ def _run_cell(fe: _Fetcher, bucket: ArchBucket, geom: CellGeom, arch, s0, s1):
             return (lo, acc + fa + fb), None
 
         idx = jnp.arange(geom.steps, dtype=jnp.int32)
+        # full unroll: steps is static and tiny (<=4); the bank-update index
+        # becomes a constant per iteration so XLA SSAs away the whole-bank
+        # copies the rolled scan would materialize each step
         (lo, f), _ = jax.lax.scan(body, (lo0, jnp.float32(0.0)),
-                                  (slot_op, slot_src, slot_nodes, idx))
+                                  (slot_op, slot_src, slot_nodes, idx),
+                                  unroll=True)
         predwd = predwd + f
         cat = jnp.take(lo, jnp.clip(arch['concat'][ci, :geom.mult] - 2, 0,
                                     geom.steps - 1), axis=0)
@@ -697,7 +701,8 @@ def _run_cell(fe: _Fetcher, bucket: ArchBucket, geom: CellGeom, arch, s0, s1):
 
         idx = jnp.arange(geom.steps, dtype=jnp.int32)
         (bank, f), _ = jax.lax.scan(body, (bank0, jnp.float32(0.0)),
-                                    (slot_op, slot_src, slot_nodes, idx))
+                                    (slot_op, slot_src, slot_nodes, idx),
+                                    unroll=True)
         predwd = predwd + f
         cat = jnp.take(bank, jnp.clip(arch['concat'][ci, :geom.mult], 0,
                                       geom.steps + 1), axis=0)
