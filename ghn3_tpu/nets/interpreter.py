@@ -282,6 +282,15 @@ def _frob(w) -> jnp.ndarray:
     return jnp.sqrt(jnp.sum(w.astype(jnp.float32) ** 2))
 
 
+def _saved(t):
+    """Tag a decoded tensor for the remat policy: decoded weights are
+    parameter-sized (small), so the trainer saves them across the fwd/bwd
+    boundary and rematerializes only activations
+    (jax.checkpoint_policies.save_only_these_names('ghn_decoded'))."""
+    from jax.ad_checkpoint import checkpoint_name
+    return checkpoint_name(t, 'ghn_decoded')
+
+
 class _Fetcher:
     """Decode context closed over by every branch: GHN params + node embeddings.
     Accumulated Frobenius norms implement predparam_wd (reference trainer.py:288-294).
@@ -326,7 +335,7 @@ class _Fetcher:
         w = tile_params(w, sz, corner=self.cfg.is_ghn2)
         if self.weight_norm:
             w = normalize_params(w, True)
-        return self.cast(w), _frob(w)
+        return _saved(self.cast(w)), _frob(w)
 
     def pair(self, node_id, sz: Tuple[int, ...]):
         """Norm weight/bias channel pair from one node (rows 0/1 of decode_1d)."""
@@ -336,14 +345,14 @@ class _Fetcher:
         if self.weight_norm:
             w = normalize_params(w, True)
             b = normalize_params(b, False)
-        return w, b, _frob(w) + _frob(b)
+        return _saved(w), _saved(b), _frob(w) + _frob(b)
 
     def bias(self, node_id, sz: Tuple[int, ...]):
         z = self._z1d(node_id)
         b = tile_params(z[1], sz)
         if self.weight_norm:
             b = normalize_params(b, False)
-        return self.cast(b), _frob(b)
+        return _saved(self.cast(b)), _frob(b)
 
     def cls_w(self, node_id, sz: Tuple[int, int]):
         """Final classification weight (class_layer_predictor head)."""
@@ -353,7 +362,7 @@ class _Fetcher:
         w = tile_params(w, sz, corner=self.cfg.is_ghn2)
         if self.weight_norm:
             w = normalize_params(w, True)
-        return w, _frob(w)
+        return _saved(w), _frob(w)
 
     def cls_b(self, node_id, sz: Tuple[int]):
         from ..models.ghn_core import decode_bias_class
@@ -361,11 +370,14 @@ class _Fetcher:
         b = tile_params(b, sz)
         if self.weight_norm:
             b = normalize_params(b, False)
-        return b, _frob(b)
+        return _saved(b), _frob(b)
 
     def fetch_specs(self, node_ids, specs):
         """Decode a spec list; returns (tensors in spec order, total frobenius).
-        ``pair`` specs contribute two tensors (weight, bias)."""
+        ``pair`` specs contribute two tensors (weight, bias). Decoded tensors
+        are tagged for the remat policy: they are parameter-sized (small), so
+        the trainer saves them across the fwd/bwd boundary and rematerializes
+        only activations (jax.checkpoint_policies.save_only_these_names)."""
         out, total = [], 0.0
         for i, (kind, _name, sz) in enumerate(specs):
             nid = node_ids[i]

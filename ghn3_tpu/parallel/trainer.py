@@ -307,7 +307,11 @@ class Trainer:
         # remat: recompute each target net's forward during backward instead of
         # storing activations — the meta-batch scan otherwise holds every net's
         # activation set at once and blows HBM at batch 128 (trading ~1.3x
-        # FLOPs for ~B_meta x activation memory)
+        # FLOPs for ~B_meta x activation memory). Measured non-win: a
+        # save_only_these_names('ghn_decoded') policy (decoded weights are
+        # parameter-sized and tagged in the interpreter fetchers) benched
+        # 0.392 vs 0.373 s/step — per-slot decode recompute is cheap, so plain
+        # full remat stays.
         @jax.checkpoint
         def net_fwd(p, x_b, arch_b, images):
             return interpret_forward(p, cfg, bucket, x_b, arch_b, images)

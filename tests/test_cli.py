@@ -8,7 +8,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(args, timeout=420):
+def _run(args, timeout=900):  # generous: XLA compiles stall under CPU contention
     env = dict(os.environ)
     env.pop('JAX_PLATFORMS', None)
     out = subprocess.run([sys.executable] + args, cwd=REPO, env=env,
