@@ -48,6 +48,8 @@ def main():
     import jax
     if args.platform:
         jax.config.update('jax_platforms', args.platform)
+    from ghn3_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()   # interpreter warmup compiles are minutes-long
     import numpy as np
 
     from ghn3_tpu.config import GHNConfig
