@@ -41,6 +41,9 @@ def main():
                     help='bfloat16 compute for the graphormer AND target nets '
                          '(the reference --amp recipe)')
     ap.add_argument('--platform', default=None)
+    ap.add_argument('--profile-dir', default=None,
+                    help='capture a jax.profiler trace of the steady-state '
+                         'steps (view with xprof/tensorboard)')
     args = ap.parse_args()
 
     if args.platform:
@@ -132,11 +135,20 @@ def main():
 
     t0 = time.perf_counter()
     times = []
+    profiling = False
     for i, ib in enumerate(batches):
+        if args.profile_dir and i == args.warmup:
+            jax.profiler.start_trace(args.profile_dir)
+            profiling = True
         t = time.perf_counter()
         trainer.update(images, labels, meta_batch=ib)
         jax.block_until_ready(trainer._params()['embed.weight'])
         times.append(time.perf_counter() - t)
+        if profiling and i == args.warmup + 2:
+            jax.profiler.stop_trace()
+            profiling = False
+    if profiling:
+        jax.profiler.stop_trace()
     total = time.perf_counter() - t0
 
     steady = sorted(times[args.warmup:])[len(times[args.warmup:]) // 2]
