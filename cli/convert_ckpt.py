@@ -17,6 +17,9 @@ def main():
     p.add_argument('dst', help='destination .npz')
     args = p.parse_args()
 
+    # pure host work: never grab an accelerator (a busy TPU would block here)
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
     from ghn3_tpu import GHN3
     ghn = GHN3.from_pretrained(args.src)
     ghn.save(args.dst)
