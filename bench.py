@@ -123,23 +123,14 @@ def predict_suite(jax):
                   else torch_param_table(TORCH_ZOO[n]())) for n in suite}
     t_graphs = time.time() - t0
 
-    # chunk the suite so each packed-output program fits HBM (21 full-size
-    # archs in one packed buffer + decode temps exceed 16 GB at fp32)
-    names = sorted(suite, key=lambda n: graphs[n].n_nodes)
+    # chunk the suite so each packed-output program fits HBM; shared with the
+    # eval sweep (evaluate.chunk_by_params) so both compile the same programs
+    from ghn3_tpu.evaluate import chunk_by_params
     param_count = {n: sum(int(np.prod(r.sz)) for cell in tables[n]
-                          for r in cell.values()) for n in names}
-    # 220M params/chunk OOMed by ~260MB on the 79-arch suite (decode temps
-    # scale with per-chunk group count); 150M keeps every packed program
-    # comfortably under the 15.75G HBM budget
-    budget = float(os.environ.get('GHN3_BENCH_BUDGET', 150e6))
-    chunks, cur, acc = [], [], 0
-    for n in names:
-        if cur and acc + param_count[n] > budget:
-            chunks.append(cur)
-            cur, acc = [], 0
-        cur.append(n)
-        acc += param_count[n]
-    chunks.append(cur)
+                          for r in cell.values()) for n in suite}
+    chunks = chunk_by_params(graphs, tables,
+                             budget=float(os.environ.get('GHN3_BENCH_BUDGET',
+                                                         150e6)))
     batches = [(chunk, GraphBatch.from_graphs([graphs[n] for n in chunk]))
                for chunk in chunks]
 

@@ -32,15 +32,28 @@ def torch_suite(args, ghn):
     suite = {}
     cutoff = ghn.config.ve_cutoff if ghn.config.ve else 1
     small = args.dataset.startswith('cifar')
+    # canonical (1000-class, unadjusted) graphs come from the shared disk cache
+    cacheable = args.num_classes == 1000 and not small
     names = [args.arch] if args.arch in JAX_ZOO else list(JAX_ZOO)
+    if args.num_nets:   # cap the sweep (reference -n semantics, handy for smokes)
+        names = sorted(names)[:args.num_nets]
     for name in names:
-        tm = TORCH_ZOO[name](num_classes=args.num_classes)
         twin = JAX_ZOO[name](num_classes=args.num_classes)
         if small:   # reference eval_ghn.py:145 adjust_net for 32px inputs
-            tm = adjust_net(tm)
             twin = adjust_net_f(twin)
-        suite[name] = (lambda tm=tm: trace_torch_model(tm, ve_cutoff=cutoff),
-                       twin)
+
+        def build(name=name):
+            tm = TORCH_ZOO[name](num_classes=args.num_classes)
+            if small:
+                tm = adjust_net(tm)
+            return trace_torch_model(tm, ve_cutoff=cutoff)
+
+        if cacheable:
+            from ghn3_tpu.graph.cache import cached_graph
+            suite[name] = ((lambda name=name, build=build:
+                            cached_graph(name, build, ve_cutoff=cutoff)), twin)
+        else:
+            suite[name] = (build, twin)
     return suite
 
 

@@ -39,6 +39,28 @@ def infer(model, params, data, batch_size: int = 64, max_batches: Optional[int] 
     return 100.0 * top1 / max(1, n), 100.0 * top5 / max(1, n)
 
 
+def chunk_by_params(graphs: Dict[str, object], tables: Dict[str, object],
+                    budget: float = 150e6) -> List[List[str]]:
+    """Node-count-sorted chunks bounded by predicted-parameter budget. One
+    packed predict program per chunk: 150M params/chunk keeps every program
+    under the 16 GB v5e HBM (measured in bench.py; larger fused programs
+    spill, 450M -> 3x slower). Shared by bench.py and the eval sweep so both
+    compile the SAME programs (persistent-cache hits)."""
+    names = sorted(graphs, key=lambda n: graphs[n].n_nodes)
+    count = {n: sum(int(np.prod(r.sz)) for cell in tables[n]
+                    for r in cell.values()) for n in names}
+    chunks, cur, acc = [], [], 0
+    for n in names:
+        if cur and acc + count[n] > budget:
+            chunks.append(cur)
+            cur, acc = [], 0
+        cur.append(n)
+        acc += count[n]
+    if cur:
+        chunks.append(cur)
+    return chunks
+
+
 def predict_and_eval_suite(ghn, suite: Dict[str, tuple], data=None, batch_size: int = 64,
                            max_batches: Optional[int] = None, norm_tol: float = 1e-2,
                            metadata_name: Optional[str] = None,
@@ -51,21 +73,19 @@ def predict_and_eval_suite(ghn, suite: Dict[str, tuple], data=None, batch_size: 
         ``expected_input_sz`` matches a key evaluates on that loader (the
         reference builds a separate 299px loader for Inception, eval_ghn.py)
     """
-    from .graph.graphdef import GraphBatch, bucket_size
+    from .graph.graphdef import GraphBatch
     from .predict import predict_packed
 
-    # bucket architectures by node count -> batched prediction per bucket
     graphs = {}
     for name, (graph, net) in suite.items():
         graphs[name] = graph() if callable(graph) else graph
-    buckets: Dict[int, List[str]] = {}
-    for name, g in graphs.items():
-        buckets.setdefault(bucket_size(g.n_nodes), []).append(name)
+    all_tables = {name: suite[name][1].param_table() for name in suite}
+    chunks = chunk_by_params(graphs, all_tables)
 
     results = []
-    for _, names in sorted(buckets.items()):
+    for names in chunks:
         batch = GraphBatch.from_graphs([graphs[n] for n in names])
-        tables = [suite[n][1].param_table() for n in names]
+        tables = [all_tables[n] for n in names]
         t0 = time.time()
         views = predict_packed(ghn.params, ghn.config, batch, tables)
         views[0].buffer.block_until_ready()
