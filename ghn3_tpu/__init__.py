@@ -16,7 +16,9 @@ from .metadata import get_metadata, norm_check
 #   ghn3_tpu.parallel.trainer.Trainer      training loop (GHN meta / classifier)
 #   ghn3_tpu.predict.{predict_batch,predict_packed}
 #   ghn3_tpu.data.deepnets1m.DeepNets1M    architecture dataset
-#   ghn3_tpu.evaluate.{infer,predict_and_eval_suite}
+#   ghn3_tpu.data.deepnets1m_writer        dataset generation (published layout)
+#   ghn3_tpu.evaluate.{infer,predict_and_eval_suite,adjust_net_f}
+#   ghn3_tpu.torch_interop.adjust_net      small-image model surgery (ppuda)
 
 __all__ = ['GraphDef', 'GraphBatch', 'PRIMITIVES', 'GHNConfig', 'GHN3',
            'get_metadata', 'norm_check', '__version__']
