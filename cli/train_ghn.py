@@ -72,9 +72,15 @@ def build_interp_stream(args, cfg):
     h5 = os.path.join(args.nets_dir, 'deepnets1m_train.hdf5')
     if os.path.exists(h5):
         from ghn3_tpu.data.deepnets1m import DeepNets1M, NodeBudgetSampler
+        pools = {}
+        if getattr(args, 'num_ch', None):
+            pools['num_ch_pool'] = [int(v) for v in args.num_ch.split(',')]
+        if getattr(args, 'fc_dims', None):
+            pools['fc_dim_pool'] = [int(v) for v in args.fc_dims.split(',')]
         ds = DeepNets1M(split='train', nets_dir=args.nets_dir,
                         virtual_edges=args.virtual_edges, num_nets=args.num_nets,
-                        large_images=is_imagenet, seed=args.seed, attach_net=False)
+                        large_images=is_imagenet, seed=args.seed, attach_net=False,
+                        **pools)
         sampler = NodeBudgetSampler(ds, meta_batch_size=args.meta_batch_size,
                                     seed=args.seed)
         vocab = ds.interpreter_vocab()   # one scan over the stored genotypes
@@ -142,6 +148,8 @@ def build_arch_pool(args, cfg, pool_size=None):
 def main():
     maybe_init_distributed()
     args = init_config('train_ghn')
+    from ghn3_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()   # interpreter bucket warmups are minutes-long
 
     s = 16 if args.dataset == 'imagenet' else 11
     # GHN-2 recipe (reference train_ghn_ddp.py:57-82): GatedGNN hypernetwork,

@@ -74,7 +74,9 @@ class DeepNets1M:
     def __init__(self, split: str = 'train', nets_dir: str = './data',
                  virtual_edges: int = 50, num_nets: Optional[int] = None,
                  large_images: bool = False, wider_nets: bool = True,
-                 seed: int = 0, debug: bool = False, attach_net: bool = True):
+                 seed: int = 0, debug: bool = False, attach_net: bool = True,
+                 num_ch_pool: Optional[Sequence[int]] = None,
+                 fc_dim_pool: Optional[Sequence[int]] = None):
         assert split in SPLITS, (split, SPLITS)
         # attach_net=False skips building the Network skeleton per item — the
         # genotype-as-data executor needs only net_args (nets/interpreter.py)
@@ -105,9 +107,13 @@ class DeepNets1M:
         self.h5_data = None  # opened lazily per worker/process
 
         # per-sample width/fc randomization pools (ppuda loader surface; the
-        # restricted branches sample the first 2-5 entries, deepnets1m.py:113-124)
-        self.num_ch = np.arange(32, 129, 16)
-        self.fc_dim = np.arange(64, 513, 64)
+        # restricted branches sample the first 2-5 entries, deepnets1m.py:113-124).
+        # num_ch_pool/fc_dim_pool override the defaults to bound interpreter
+        # bucket cardinality (tools/bucket_stats.py measures the trade-off).
+        self.num_ch = (np.asarray(sorted(num_ch_pool), dtype=np.int64)
+                       if num_ch_pool is not None else np.arange(32, 129, 16))
+        self.fc_dim = (np.asarray(sorted(fc_dim_pool), dtype=np.int64)
+                       if fc_dim_pool is not None else np.arange(64, 513, 64))
 
         self.node_counts = np.array([
             args.get('num_nodes', args.get('n_nodes', 64)) for args in self.nets])

@@ -94,17 +94,20 @@ def graph_record(g, n_cells: int) -> Tuple[np.ndarray, np.ndarray, List[str], Li
 # stores the raw sampled args)
 def sample_net_args(rng: np.random.Generator, ops: Optional[Sequence[str]] = None,
                     steps_choices=(1, 2), cells_choices=(2, 3, 4),
-                    c_choices=(8, 16, 32), imagenet: bool = False) -> dict:
+                    c_choices=(8, 16, 32), fc_dim_choices=(256,),
+                    c_mult_choices=(1, 2), fc_layers_choices=(1, 2),
+                    glob_avg_p: float = 0.9,
+                    imagenet: bool = False) -> dict:
     kw = {'ops': tuple(ops)} if ops else {}
     geno = random_genotype(rng, steps=int(rng.choice(steps_choices)), **kw)
     return dict(genotype=geno,
                 n_cells=int(rng.choice(cells_choices)),
                 C=int(rng.choice(c_choices)),
-                glob_avg=bool(rng.random() < 0.9),
+                glob_avg=bool(rng.random() < glob_avg_p),
                 preproc=True,
-                C_mult=int(rng.choice((1, 2))),
-                fc_layers=int(rng.choice((1, 2))),
-                fc_dim=256,
+                C_mult=int(rng.choice(c_mult_choices)),
+                fc_layers=int(rng.choice(fc_layers_choices)),
+                fc_dim=int(rng.choice(fc_dim_choices)),
                 stem_type=int(rng.choice((0, 1))) if imagenet else 0,
                 stem_pool=bool(rng.random() < 0.5) if imagenet else False,
                 norm='bn',
@@ -115,7 +118,7 @@ def write_dataset(out_dir: str, n_train: int = 64, n_val: int = 8,
                   num_classes: int = 10, imagenet: bool = False,
                   seed: int = 0, ve_cutoff: int = 50,
                   ops: Optional[Sequence[str]] = None,
-                  log_every: int = 0) -> str:
+                  log_every: int = 0, **sample_kw) -> str:
     """Write ``deepnets1m_train.hdf5`` / ``deepnets1m_eval.hdf5`` +
     ``deepnets1m_meta.json`` in the published layout under ``out_dir``."""
     import h5py
@@ -147,7 +150,7 @@ def write_dataset(out_dir: str, n_train: int = 64, n_val: int = 8,
             grp = f.create_group(split)
             written = 0
             while written < count:
-                args = sample_net_args(rng, ops=ops, imagenet=imagenet)
+                args = sample_net_args(rng, ops=ops, imagenet=imagenet, **sample_kw)
                 try:
                     g = build_genotype_graph(num_classes=num_classes,
                                              is_imagenet_input=imagenet,

@@ -101,6 +101,66 @@ class Cifar10(DataSource):
             yield np.ascontiguousarray(x), self.y[sel]
 
 
+class Digits(DataSource):
+    """Real image data for offline environments: sklearn's bundled handwritten
+    digits (1797 8x8 grayscale images, 10 classes — a genuine classification
+    task, unlike `SyntheticImages`). Images are nearest-upsampled to ``imsize``
+    and replicated to 3 channels so the standard CIFAR-style target networks
+    (32px stems) run unchanged. Deterministic stratified 80/20 train/test split;
+    train augmentation is the CIFAR pad-4 random crop (no flip — digits are not
+    mirror-invariant). Used by the meta-learning proof (RESULTS.md): GHN
+    meta-training needs a real dataset for "predicted params beat random init
+    on held-out architectures" to be measurable."""
+
+    # mean/std of the upsampled [0,1] train split (fixed constants so train and
+    # eval normalize identically regardless of split handed out)
+    MEAN = 0.3054
+    STD = 0.3760
+
+    def __init__(self, train: bool = True, imsize: int = 32, seed: int = 0):
+        from sklearn.datasets import load_digits
+        X, y = load_digits(return_X_y=True)
+        X = X.reshape(-1, 8, 8).astype(np.float32) / 16.0
+        rng = np.random.default_rng(seed)
+        test_idx = []
+        for c in range(10):
+            cls = np.nonzero(y == c)[0]
+            cls = cls[rng.permutation(len(cls))]
+            test_idx.extend(cls[:max(1, len(cls) // 5)])
+        mask = np.zeros(len(y), dtype=bool)
+        mask[test_idx] = True
+        sel = mask if not train else ~mask
+        scale = max(1, imsize // 8)
+        x = np.kron(X[sel], np.ones((scale, scale), np.float32))  # nearest upsample
+        x = np.repeat(x[:, None], 3, axis=1)                      # grayscale -> 3ch
+        self.x = ((x - self.MEAN) / self.STD).astype(np.float32)
+        self.y = y[sel].astype(np.int64)
+        self.imsize = 8 * scale
+        self.train = train
+        self.num_examples = len(self.y)
+        self.num_classes = 10
+
+    def batches(self, batch_size, train=None, seed=0, shard=0, num_shards=1):
+        train = self.train if train is None else train
+        idx = np.arange(self.num_examples)[shard::num_shards]
+        rng = np.random.default_rng(seed)
+        if train:
+            rng.shuffle(idx)
+        bs = min(batch_size, len(idx))
+        for i in range(0, len(idx) - bs + 1, bs):
+            sel = idx[i:i + bs]
+            x = self.x[sel]
+            if train:
+                s = self.imsize
+                pad = np.pad(x, ((0, 0), (0, 0), (4, 4), (4, 4)), mode='constant')
+                out = np.empty_like(x)
+                for j in range(len(sel)):
+                    dy, dx = rng.integers(0, 9, size=2)
+                    out[j] = pad[j, :, dy:dy + s, dx:dx + s]
+                x = out
+            yield np.ascontiguousarray(x), self.y[sel]
+
+
 class ImageFolder(DataSource):
     """ImageNet-style class-folder dataset via PIL (train/ and val/ layouts).
 
@@ -222,6 +282,8 @@ def image_loader(dataset: str, data_dir: str, imsize: int = 224,
                  workers: int = 8) -> DataSource:
     if dataset == 'synthetic':
         src = SyntheticImages(imsize=imsize)
+    elif dataset == 'digits':
+        src = Digits(train=split == 'train', imsize=imsize)
     elif dataset == 'cifar10':
         src = Cifar10(data_dir, train=split == 'train')
     elif dataset == 'imagenet':

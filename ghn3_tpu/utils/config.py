@@ -18,7 +18,7 @@ import numpy as np
 def base_parser(mode: str) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=f'ghn3_tpu ({mode})')
     p.add_argument('-d', '--dataset', type=str, default='cifar10',
-                   choices=['cifar10', 'imagenet', 'synthetic'])
+                   choices=['cifar10', 'imagenet', 'synthetic', 'digits'])
     p.add_argument('-D', '--data_dir', type=str, default='./data')
     p.add_argument('--nets_dir', type=str, default='./data',
                    help='directory with DeepNets-1M files')
@@ -75,6 +75,13 @@ def base_parser(mode: str) -> argparse.ArgumentParser:
         p.add_argument('--bucket_patience', type=int, default=64,
                        help='flush a partially-filled bucket after this many '
                             'streamed nets (interpreter executor)')
+        p.add_argument('--num_ch', type=str, default=None,
+                       help='comma-separated channel-width pool override for '
+                            'the wider_nets sampling (bounds interpreter '
+                            'bucket cardinality; default 32..128 step 16)')
+        p.add_argument('--fc_dims', type=str, default=None,
+                       help='comma-separated fc_dim pool override '
+                            '(default 64..512 step 64)')
     if mode in ('train_ghn', 'train_net'):
         p.add_argument('--opt', type=str, default='adamw' if mode == 'train_ghn' else 'sgd')
         p.add_argument('--lr', type=float, default=4e-4 if mode == 'train_ghn' else 0.1)
@@ -121,7 +128,8 @@ def init_config(mode: str = 'train_ghn', parser: Optional[argparse.ArgumentParse
 
     if args.imsize is None:
         args.imsize = 224 if args.dataset == 'imagenet' else 32
-    args.num_classes = {'imagenet': 1000, 'cifar10': 10, 'synthetic': 10}[args.dataset]
+    args.num_classes = {'imagenet': 1000, 'cifar10': 10, 'synthetic': 10,
+                        'digits': 10}[args.dataset]
 
     np.random.seed(args.seed)
 

@@ -28,12 +28,30 @@ def main():
                     help='imagenet-style stems / large-image geometry')
     ap.add_argument('--seed', type=int, default=0)
     ap.add_argument('--ve', type=int, default=50)
+    # macro-config sampling pools (comma-separated). Narrowing these bounds the
+    # interpreter's compiled-program count (see tools/bucket_stats.py) while the
+    # genotype content — op choices, wiring, concat sets — stays fully random.
+    ap.add_argument('--cells', type=str, default='2,3,4')
+    ap.add_argument('--steps', type=str, default='1,2')
+    ap.add_argument('--channels', type=str, default='8,16,32')
+    ap.add_argument('--fc-dims', type=str, default='256')
+    ap.add_argument('--c-mult', type=str, default='1,2')
+    ap.add_argument('--fc-layers', type=str, default='1,2')
+    ap.add_argument('--glob-avg-p', type=float, default=0.9)
     args = ap.parse_args()
+
+    def ints(s):
+        return tuple(int(v) for v in s.split(','))
 
     from ghn3_tpu.data.deepnets1m_writer import write_dataset
     out = write_dataset(args.out, n_train=args.num_train, n_val=args.val,
                         num_classes=args.num_classes, imagenet=args.imagenet,
                         seed=args.seed, ve_cutoff=args.ve,
+                        cells_choices=ints(args.cells), steps_choices=ints(args.steps),
+                        c_choices=ints(args.channels), fc_dim_choices=ints(args.fc_dims),
+                        c_mult_choices=ints(args.c_mult),
+                        fc_layers_choices=ints(args.fc_layers),
+                        glob_avg_p=args.glob_avg_p,
                         log_every=max(1, args.num_train // 10))
     print(f'wrote DeepNets-1M-format dataset ({args.num_train} train / '
           f'{args.val} val) to {out}')

@@ -54,3 +54,56 @@ def test_image_folder(tmp_path):
     train = ImageFolder(str(tmp_path), split='train', imsize=32)
     x, y = next(iter(train.batches(4, train=True)))
     assert x.shape == (4, 3, 32, 32)
+
+
+def test_digits_source():
+    """Real bundled dataset (sklearn digits): deterministic split, disjoint
+    train/test, learnable signal (nearest-centroid beats chance by a wide
+    margin) — the dataset behind the meta-learning proof (RESULTS.md)."""
+    from ghn3_tpu.data.images import Digits, image_loader
+    tr = Digits(train=True)
+    te = Digits(train=False)
+    assert tr.num_examples + te.num_examples == 1797
+    assert tr.num_classes == te.num_classes == 10
+    x, y = next(iter(tr.batches(32, seed=0)))
+    assert x.shape == (32, 3, 32, 32) and x.dtype == np.float32
+    # identical split across constructions
+    te2 = Digits(train=False)
+    np.testing.assert_array_equal(te.y, te2.y)
+    np.testing.assert_array_equal(te.x, te2.x)
+    # eval batches deterministic
+    x1, y1 = next(iter(te.batches(64, train=False)))
+    x2, y2 = next(iter(te.batches(64, train=False)))
+    np.testing.assert_array_equal(x1, x2)
+    # nearest-centroid on the raw pixels: real signal, not noise
+    flat_tr = tr.x.reshape(tr.num_examples, -1)
+    flat_te = te.x.reshape(te.num_examples, -1)
+    cents = np.stack([flat_tr[tr.y == c].mean(0) for c in range(10)])
+    pred = np.argmin(((flat_te[:, None] - cents[None]) ** 2).sum(-1), axis=1)
+    acc = (pred == te.y).mean()
+    assert acc > 0.7, acc
+    # loader surface
+    src = image_loader('digits', './data', imsize=32, split='val')
+    assert src.num_examples == te.num_examples
+
+
+def test_deepnets_width_pool_override(tmp_path):
+    """num_ch_pool/fc_dim_pool bound the wider_nets sampling (interpreter
+    bucket-cardinality lever, tools/bucket_stats.py)."""
+    from ghn3_tpu.data.deepnets1m_writer import write_dataset
+    from ghn3_tpu.data.deepnets1m import DeepNets1M
+    write_dataset(str(tmp_path), n_train=6, n_val=2, cells_choices=(3,),
+                  steps_choices=(1,), c_choices=(16,), fc_dim_choices=(128,),
+                  c_mult_choices=(2,), fc_layers_choices=(1,), glob_avg_p=1.0)
+    ds = DeepNets1M(split='train', nets_dir=str(tmp_path), attach_net=False,
+                    num_ch_pool=[32, 64], fc_dim_pool=[128])
+    seen_c, seen_fc = set(), set()
+    for _ in range(30):
+        g = ds[int(np.random.default_rng(_).integers(0, len(ds)))]
+        seen_c.add(g.net_args['C'])
+        seen_fc.add(g.net_args['fc_dim'])
+    assert seen_c <= {32, 64}, seen_c
+    assert seen_fc <= {128}, seen_fc
+    # stored macro-config knobs round-trip through the writer
+    assert all(a['n_cells'] == 3 and a['fc_layers'] == 1 and a['glob_avg']
+               for a in ds.nets)
