@@ -86,11 +86,14 @@ def build_interp_stream(args, cfg):
         vocab = ds.interpreter_vocab()   # one scan over the stored genotypes
         log(f'interpreter executor: streaming DeepNets-1M ({len(ds)} nets), '
             f'vocab={vocab}')
+        pad_buckets = None
+        if getattr(args, 'pad_nodes', None):
+            pad_buckets = tuple(int(v) for v in args.pad_nodes.split(','))
         return stream_interp_batches(ds, sampler, cfg, args.meta_batch_size,
                                      num_classes=args.num_classes,
                                      is_imagenet_input=is_imagenet,
                                      patience=args.bucket_patience,
-                                     vocab=vocab,
+                                     vocab=vocab, pad_buckets=pad_buckets,
                                      input_size=args.imsize or 0)
 
     from ghn3_tpu.nets.interpreter import vocab_from_primitives

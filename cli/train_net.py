@@ -34,20 +34,8 @@ def build_model(args):
 
 
 def init_params(args, model, beta=1e-5):
-    rng = jax.random.PRNGKey(args.seed)
-    if hasattr(model, 'init_params'):
-        params = model.init_params(rng)
-    else:
-        import numpy as onp
-        params = {}
-        keys = jax.random.split(rng, len(list(model.named_params())))
-        for k, (name, shape, is_w) in zip(keys, model.named_params()):
-            if len(shape) == 1:
-                params[name] = jax.numpy.ones(shape) if name.endswith('.weight') \
-                    else jax.numpy.zeros(shape)
-            else:
-                fan_in = int(onp.prod(shape[1:]))
-                params[name] = jax.random.normal(k, shape) * onp.sqrt(2.0 / fan_in)
+    from ghn3_tpu.evaluate import he_init_params
+    params = he_init_params(model, seed=args.seed)
 
     if args.ckpt:  # GHN-predicted initialization
         from ghn3_tpu import GHN3

@@ -39,6 +39,26 @@ def infer(model, params, data, batch_size: int = 64, max_batches: Optional[int] 
     return 100.0 * top1 / max(1, n), 100.0 * top5 / max(1, n)
 
 
+def he_init_params(model, seed: int = 0) -> dict:
+    """Standard random initialization for a functional net (He-normal for
+    weight tensors, ones/zeros for 1-D norm params) — the random-init baseline
+    the GHN papers compare predicted parameters against (reference
+    ghn3_results.json `randinit-*` columns; ppuda utils.init surface)."""
+    if hasattr(model, 'init_params'):
+        return model.init_params(jax.random.PRNGKey(seed))
+    params = {}
+    names = list(model.named_params())
+    keys = jax.random.split(jax.random.PRNGKey(seed), max(1, len(names)))
+    for k, (name, shape, _is_w) in zip(keys, names):
+        if len(shape) == 1:
+            params[name] = jnp.ones(shape) if name.endswith('.weight') \
+                else jnp.zeros(shape)
+        else:
+            fan_in = int(np.prod(shape[1:]))
+            params[name] = jax.random.normal(k, shape) * np.sqrt(2.0 / fan_in)
+    return params
+
+
 def chunk_by_params(graphs: Dict[str, object], tables: Dict[str, object],
                     budget: float = 150e6) -> List[List[str]]:
     """Node-count-sorted chunks bounded by predicted-parameter budget. One

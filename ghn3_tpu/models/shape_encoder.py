@@ -10,6 +10,7 @@ indexed by these tables.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -71,6 +72,12 @@ class ShapeTables:
             sz = (sz[0], 1)
         if len(sz) == 2:
             sz = (sz[0], sz[1], 1, 1)
+        if len(sz) == 3 and sz[0] == 1 and min(sz[1:]) > 1:
+            # ViT positional embedding (1, tokens, dim): same 4-D spatial
+            # conversion as the graph side (reference graph.py:878-884), so
+            # the shape embedding is consistent with DeepNets-1M pos_enc nodes
+            s = int(math.floor(sz[1] ** 0.5))
+            sz = (1, sz[2], s, s)
         assert len(sz) == 4, sz
         return (self.channel_index(sz[0]), self.channel_index(sz[1]),
                 self.spatial_index(sz[2]), self.spatial_index(sz[3]))

@@ -59,7 +59,11 @@ def torch_param_table(model) -> TargetTable:
             b_key = 'in_proj_bias' if is_proj_w else 'bias'
             w = getattr(m, w_key)
             sz = tuple(w) if isinstance(w, (list, tuple)) else tuple(w.shape)
-            table[cell_ind][module_name + '.' + w_key] = TargetParam(
+            # pos_embedding is looked up as '<node name>.weight' (predict.py
+            # _candidate_names appends '.weight' to unsuffixed node names,
+            # mirroring reference nn.py:620-621), so key it accordingly
+            t_key = module_name + '.' + w_key + ('.weight' if is_pos_enc else '')
+            table[cell_ind][t_key] = TargetParam(
                 sz=sz, is_w=True, set_fn=_make_setter(m, w_key, b_key))
         if is_b or is_proj_b:
             b_key = 'in_proj_bias' if is_proj_b else 'bias'

@@ -82,6 +82,10 @@ def base_parser(mode: str) -> argparse.ArgumentParser:
         p.add_argument('--fc_dims', type=str, default=None,
                        help='comma-separated fc_dim pool override '
                             '(default 64..512 step 64)')
+        p.add_argument('--pad_nodes', type=str, default=None,
+                       help='comma-separated node-padding bucket sizes for the '
+                            'interpreter executor (fewer sizes = fewer compiled '
+                            'programs; default: graphdef.DEFAULT_BUCKETS)')
     if mode in ('train_ghn', 'train_net'):
         p.add_argument('--opt', type=str, default='adamw' if mode == 'train_ghn' else 'sgd')
         p.add_argument('--lr', type=float, default=4e-4 if mode == 'train_ghn' else 0.1)

@@ -137,43 +137,59 @@ class ResNetF(FModule):
         return table
 
 
-class _ViTBlock(FModule):
+class _MHAF(FModule):
+    """``nn.MultiheadAttention`` twin: fused qkv ``in_proj_weight`` /
+    ``in_proj_bias`` (the parameter layout the reference maps as a conv node +
+    bias node, nn.py:519-520) and ``out_proj``."""
+
     def __init__(self, dim, heads):
         super().__init__()
         self.heads = heads
-        self.ln1 = LayerNorm(dim)
-        self.ln2 = LayerNorm(dim)
-        self.to_qkv = Linear(dim, dim * 3, bias=False)
-        self.to_out = Linear(dim, dim)
-        self.fc1 = Linear(dim, dim * 4)
-        self.fc2 = Linear(dim * 4, dim)
-        # match torch_zoo naming: attn.{to_qkv,to_out}
-        self._children.pop('to_qkv')
-        self._children.pop('to_out')
-        attn = FModule()
-        attn.add('to_qkv', self.to_qkv)
-        attn.add('to_out', self.to_out)
-        self.add('attn', attn)
+        self.declare('in_proj_weight', (3 * dim, dim), True)
+        self.declare('in_proj_bias', (3 * dim,), False)
+        self.out_proj = Linear(dim, dim)
 
     def __call__(self, P, x, prefix='', training=False):
         b, n, c = x.shape
         h = self.heads
         d = c // h
-        y = self.ln1(P, x, prefix + 'ln1.', training)
-        qkv = self.to_qkv(P, y, prefix + 'attn.to_qkv.', training)
+        qkv = x @ self.p(P, prefix, 'in_proj_weight').T \
+            + self.p(P, prefix, 'in_proj_bias')
         qkv = qkv.reshape(b, n, 3, h, d).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
-        att = jax.nn.softmax(jnp.einsum('bhnd,bhmd->bhnm', q, k) * (d ** -0.5), axis=-1)
-        y = jnp.einsum('bhnm,bhmd->bhnd', att, v).transpose(0, 2, 1, 3).reshape(b, n, c)
-        x = x + self.to_out(P, y, prefix + 'attn.to_out.', training)
-        y = self.ln2(P, x, prefix + 'ln2.', training)
-        y = self.fc1(P, y, prefix + 'fc1.', training)
-        y = self.fc2(P, jax.nn.gelu(y, approximate=False), prefix + 'fc2.', training)
-        return x + y
+        att = jax.nn.softmax(jnp.einsum('bhnd,bhmd->bhnm', q, k) * (d ** -0.5),
+                             axis=-1)
+        y = jnp.einsum('bhnm,bhmd->bhnd', att, v).transpose(0, 2, 1, 3)
+        return self.out_proj(P, y.reshape(b, n, c), prefix + 'out_proj.', training)
+
+
+class _ViTEncoderBlockF(FModule):
+    """torchvision EncoderBlock twin: ln_1 -> self_attention -> residual,
+    ln_2 -> mlp(Linear/GELU/Dropout/Linear/Dropout) -> residual."""
+
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.ln_1 = LayerNorm(dim, eps=1e-6)
+        self.self_attention = _MHAF(dim, heads)
+        self.ln_2 = LayerNorm(dim, eps=1e-6)
+        self.mlp = Sequential(Linear(dim, dim * 4), GELU(), Dropout(0.0),
+                              Linear(dim * 4, dim), Dropout(0.0))
+
+    def __call__(self, P, x, prefix='', training=False):
+        y = self.ln_1(P, x, prefix + 'ln_1.', training)
+        x = x + self.self_attention(P, y, prefix + 'self_attention.', training)
+        y = self.ln_2(P, x, prefix + 'ln_2.', training)
+        return x + self.mlp(P, y, prefix + 'mlp.', training)
 
 
 class ViTF(FModule):
-    """Functional twin of zoo/torch_zoo.vit_b_16 (learned pos-embedding ViT)."""
+    """Functional twin of the torchvision-exact ViT (zoo/torch_zoo.vit_classes):
+    class token + learned ``encoder.pos_embedding`` (class-token row included),
+    qkv bias, token-0 classification, torchvision parameter naming.
+
+    ``class_token`` is a bare parameter the GHN never predicts (the reference
+    filters its node out, graph.py:658-683); the forward falls back to the
+    torchvision zeros init when absent from the param dict."""
 
     def __init__(self, num_classes=1000, dim=768, depth=12, heads=12, patch=16,
                  img_size=224):
@@ -181,30 +197,46 @@ class ViTF(FModule):
         self._n_cells = 1
         self.expected_input_sz = img_size
         self.num_classes = num_classes
-        n_tok = (img_size // patch) ** 2
-        self.patch = patch
-        self.stem0 = Conv2d(3, dim, patch, stride=patch, bias=False)
+        self.dim = dim
+        seq_length = (img_size // patch) ** 2 + 1
+        self.conv_proj = Conv2d(3, dim, patch, stride=patch, bias=True)
+        self.declare('class_token', (1, 1, dim), True)
+        encoder = FModule()
+        # named so the decode-side lookup key is 'encoder.pos_embedding.weight'
+        # (reference _map_net_params appends '.weight' to names without a
+        # recognized suffix, nn.py:620-621)
         pos = FModule()
-        pos.declare('weight', (n_tok, dim), True)
-        self.add('pos_enc', pos)
-        self.pos_enc = pos
-        blocks = Sequential()
-        for _ in range(depth):
-            blocks.append(_ViTBlock(dim, heads))
-        self.blocks = blocks
-        self.ln = LayerNorm(dim)
-        self.head = Linear(dim, num_classes)
+        pos.declare('weight', (1, seq_length, dim), True)
+        encoder.add('pos_embedding', pos)
+        layers = FModule()
+        for i in range(depth):
+            layers.add('encoder_layer_%d' % i, _ViTEncoderBlockF(dim, heads))
+        encoder.add('layers', layers)
+        encoder.add('ln', LayerNorm(dim, eps=1e-6))
+        self.add('encoder', encoder)
+        self.encoder = encoder
+        heads_ = FModule()
+        heads_.add('head', Linear(dim, num_classes))
+        self.heads = heads_   # __setattr__ registers the 'heads' child
         self.predicted: Dict[str, jnp.ndarray] = {}
 
     def __call__(self, P, x, prefix='', training=False):
-        x = self.stem0(P, x, prefix + 'stem0.', training)
+        x = self.conv_proj(P, x, prefix + 'conv_proj.', training)
         b, c, h, w = x.shape
         x = x.reshape(b, c, h * w).transpose(0, 2, 1)
-        # torch indexes the embedding by arange(n_tokens): slice, don't broadcast
-        x = x + self.pos_enc.p(P, prefix + 'pos_enc.', 'weight')[:h * w][None]
-        x = self.blocks(P, x, prefix + 'blocks.', training)
-        x = self.ln(P, x, prefix + 'ln.', training)
-        return self.head(P, x.mean(axis=1), prefix + 'head.', training)
+        cls = self.p(P, prefix + '', 'class_token')
+        if cls is None:  # not GHN-predictable; torchvision initializes to zeros
+            cls = jnp.zeros((1, 1, self.dim), x.dtype)
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, c)), x], axis=1)
+        enc = prefix + 'encoder.'
+        x = x + self.encoder._children['pos_embedding'].p(
+            P, enc + 'pos_embedding.', 'weight')
+        layers = self.encoder._children['layers']
+        for name, block in layers._children.items():
+            x = block(P, x, f'{enc}layers.{name}.', training)
+        x = self.encoder._children['ln'](P, x, enc + 'ln.', training)
+        return self.heads._children['head'](P, x[:, 0],
+                                            prefix + 'heads.head.', training)
 
     param_shapes = ResNetF.param_shapes
     param_table = ResNetF.param_table

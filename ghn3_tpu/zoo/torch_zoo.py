@@ -137,56 +137,102 @@ def resnext101_32x8d(num_classes=1000):
                         num_classes=num_classes)
 
 
-def vit_b_16(num_classes=1000, dim=768, depth=12, heads=12, patch=16):
-    """ViT-B/16-style encoder with learned positional embedding."""
+_VIT_CLASSES = None
+
+
+def vit_classes():
+    """Structurally-exact torchvision VisionTransformer classes (torchvision
+    models/vision_transformer.py), memoized at module scope: bare
+    ``class_token`` parameter, learned ``encoder.pos_embedding`` (with
+    class-token row), ``nn.MultiheadAttention`` (qkv bias via in_proj),
+    torchvision module/parameter naming throughout. vit_b_16(1000) has exactly
+    86,567,656 parameters — torchvision's published count. Per the reference
+    semantics (graph.py:1113-1129 MODULES table + filter), ``class_token`` is
+    traced but never predicted (it keeps its zeros init) and ``pos_embedding``
+    decodes through the 3-D tile path (nn.py:439-447).
+
+    Attention runs with ``need_weights=True`` to force the explicit
+    bmm+softmax autograd path: torch >= 2.0 otherwise fuses attention into one
+    SDPA node, whereas the published GHN checkpoints were trained on graphs
+    with explicit Softmax (msa) nodes (reference graph.py:553-574 softmax
+    rewiring presumes them).
+
+    Returns ``(VisionTransformer, Encoder)``. The classes live at module scope
+    (one identity for all vit_* factories) so the tests' torchvision shim can
+    alias them — the reference's exact-type ``MODULES[type(module)]`` lookup
+    and isinstance-gated ViT fixes then engage during golden comparisons; in
+    a real torchvision environment the reference sees real torchvision models
+    instead."""
+    global _VIT_CLASSES
+    if _VIT_CLASSES is not None:
+        return _VIT_CLASSES
     torch, nn, F = _torch()
+    from collections import OrderedDict
 
-    class MHA(nn.Module):
-        def __init__(self):
+    class EncoderBlock(nn.Module):
+        def __init__(self, dim, heads):
             super().__init__()
-            self.to_qkv = nn.Linear(dim, dim * 3, bias=False)
-            self.to_out = nn.Linear(dim, dim)
+            self.ln_1 = nn.LayerNorm(dim, eps=1e-6)
+            self.self_attention = nn.MultiheadAttention(dim, heads, batch_first=True)
+            self.dropout = nn.Dropout(0.0)
+            self.ln_2 = nn.LayerNorm(dim, eps=1e-6)
+            self.mlp = nn.Sequential(nn.Linear(dim, dim * 4), nn.GELU(),
+                                     nn.Dropout(0.0), nn.Linear(dim * 4, dim),
+                                     nn.Dropout(0.0))
+
+        def forward(self, input):
+            x = self.ln_1(input)
+            x, _ = self.self_attention(x, x, x, need_weights=True)
+            x = self.dropout(x)
+            x = x + input
+            y = self.mlp(self.ln_2(x))
+            return x + y
+
+    class Encoder(nn.Module):
+        def __init__(self, seq_length, dim, depth, heads):
+            super().__init__()
+            self.pos_embedding = nn.Parameter(
+                torch.empty(1, seq_length, dim).normal_(std=0.02))
+            self.dropout = nn.Dropout(0.0)
+            self.layers = nn.Sequential(OrderedDict(
+                ('encoder_layer_%d' % i, EncoderBlock(dim, heads))
+                for i in range(depth)))
+            self.ln = nn.LayerNorm(dim, eps=1e-6)
+
+        def forward(self, input):
+            input = input + self.pos_embedding
+            return self.ln(self.layers(self.dropout(input)))
+
+    class VisionTransformer(nn.Module):
+        def __init__(self, num_classes=1000, dim=768, depth=12, heads=12,
+                     patch=16, img_size=224):
+            super().__init__()
+            seq_length = (img_size // patch) ** 2 + 1
+            self.conv_proj = nn.Conv2d(3, dim, kernel_size=patch, stride=patch)
+            self.class_token = nn.Parameter(torch.zeros(1, 1, dim))
+            self.encoder = Encoder(seq_length, dim, depth, heads)
+            self.heads = nn.Sequential(OrderedDict(
+                head=nn.Linear(dim, num_classes)))
+            self.expected_input_sz = img_size
 
         def forward(self, x):
-            b, n, c = x.shape
-            qkv = self.to_qkv(x).reshape(b, n, 3, heads, c // heads).permute(2, 0, 3, 1, 4)
-            q, k, v = qkv[0], qkv[1], qkv[2]
-            att = (q @ k.transpose(-2, -1)) * (c // heads) ** -0.5
-            att = att.softmax(dim=-1)
-            out = (att @ v).transpose(1, 2).reshape(b, n, c)
-            return self.to_out(out)
+            n = x.shape[0]
+            x = self.conv_proj(x).flatten(2).permute(0, 2, 1)
+            batch_class_token = self.class_token.expand(n, -1, -1)
+            x = torch.cat([batch_class_token, x], dim=1)
+            x = self.encoder(x)
+            return self.heads(x[:, 0])
 
-    class Block(nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.ln1 = nn.LayerNorm(dim)
-            self.attn = MHA()
-            self.ln2 = nn.LayerNorm(dim)
-            self.fc1 = nn.Linear(dim, dim * 4)
-            self.fc2 = nn.Linear(dim * 4, dim)
+    _VIT_CLASSES = (VisionTransformer, Encoder)
+    return _VIT_CLASSES
 
-        def forward(self, x):
-            x = x + self.attn(self.ln1(x))
-            return x + self.fc2(F.gelu(self.fc1(self.ln2(x))))
 
-    class ViT(nn.Module):
-        def __init__(self):
-            super().__init__()
-            n_tok = (224 // patch) ** 2
-            self.stem0 = nn.Conv2d(3, dim, patch, stride=patch, bias=False)
-            self.pos_enc = nn.Embedding(n_tok, dim)
-            self.blocks = nn.Sequential(*[Block() for _ in range(depth)])
-            self.ln = nn.LayerNorm(dim)
-            self.head = nn.Linear(dim, num_classes)
-            self.expected_input_sz = 224
-
-        def forward(self, x):
-            x = self.stem0(x).flatten(2).transpose(1, 2)
-            x = x + self.pos_enc(torch.arange(x.shape[1], device=x.device))[None]
-            x = self.ln(self.blocks(x))
-            return self.head(x.mean(1))
-
-    return ViT()
+def vit_b_16(num_classes=1000, dim=768, depth=12, heads=12, patch=16,
+             img_size=224):
+    """torchvision-exact ViT (see :func:`vit_classes`)."""
+    ViT, _ = vit_classes()
+    return ViT(num_classes=num_classes, dim=dim, depth=depth, heads=heads,
+               patch=patch, img_size=img_size)
 
 
 VGG_CFGS = {

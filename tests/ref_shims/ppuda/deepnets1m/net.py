@@ -38,8 +38,13 @@ def named_layered_modules(model):
             if module_name.startswith('module.'):
                 module_name = module_name[len('module.'):]
             if is_w or is_proj_w or is_pos_enc:
+                # pos_embedding is keyed WITH a '.weight' suffix: the reference
+                # looks it up as p_ + '.weight' (nn.py:620-621 — the raw node
+                # name 'encoder.pos_embedding' has no recognized suffix) and its
+                # _set_params has a live Encoder branch (nn.py:521-522), which
+                # is only reachable if this lookup succeeds.
                 key = module_name + ('.in_proj_weight' if is_proj_w else
-                                     ('.pos_embedding' if is_pos_enc else '.weight'))
+                                     ('.pos_embedding.weight' if is_pos_enc else '.weight'))
                 w = m.in_proj_weight if is_proj_w else (m.pos_embedding if is_pos_enc else m.weight)
                 sz = tuple(w) if isinstance(w, (list, tuple)) else tuple(w.shape)
                 layered_modules[cell_ind][key] = {'param_name': key, 'module': m, 'is_w': True, 'sz': sz}

@@ -167,6 +167,11 @@ class ShapeEncoder(nn.Module):
                 sz = (sz[0], 1)
             if len(sz) == 2:
                 sz = (sz[0], sz[1], 1, 1)
+            if len(sz) == 3 and sz[0] == 1 and min(sz[1:]) > 1:
+                # torchvision-ViT pos_embedding (1, tokens, dim): the same 4-D
+                # conversion the reference applies graph-side (graph.py:878-884)
+                s = int(sz[1] ** 0.5)
+                sz = (1, sz[2], s, s)
             assert len(sz) == 4, sz
 
             if not predict_class_layers and params_map[node_ind][1] in ['cls_w', 'cls_b']:

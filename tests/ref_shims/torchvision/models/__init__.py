@@ -14,8 +14,13 @@ class SwinTransformer(_Never):
     pass
 
 
-class VisionTransformer(_Never):
-    pass
+# The ViT classes are ghn3_tpu's torchvision-exact twins: the reference's
+# MODULES table keys on the exact Encoder type (graph.py:1129) and its ViT
+# fixes are isinstance-gated (graph.py:626-634, nn.py:521-522), so the shim
+# must expose the very classes the traced models are built from.
+from ghn3_tpu.zoo.torch_zoo import vit_classes as _vit_classes
+
+VisionTransformer, _ViTEncoder = _vit_classes()
 
 
 class SqueezeNet(_Never):
@@ -27,8 +32,7 @@ class _SubMod:
 
 
 class vision_transformer:
-    class Encoder(_Never):
-        pass
+    Encoder = _ViTEncoder
 
 
 class convnext:

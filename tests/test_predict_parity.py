@@ -54,8 +54,15 @@ def test_predicted_params_match(pair, name):
     p_ref, p_ours = _params(model_ref), _params(model_ours)
     assert set(p_ref) == set(p_ours)
     for k in p_ref:
+        ours, ref = p_ours[k], p_ref[k]
+        if k.endswith('pos_embedding'):
+            # the class-token row is SAMPLED (reference nn.py:445-447:
+            # torch.normal(0, 0.02)); torch and numpy rngs cannot agree, so
+            # compare the predicted rows exactly and the random row by moments
+            assert abs(float(ours[:, 0].std()) - 0.02) < 0.02, k
+            ours, ref = ours[:, 1:], ref[:, 1:]
         np.testing.assert_allclose(
-            p_ours[k], p_ref[k], atol=1e-5, rtol=1e-4,
+            ours, ref, atol=1e-5, rtol=1e-4,
             err_msg=f'{name}: predicted parameter {k} differs from reference')
 
 

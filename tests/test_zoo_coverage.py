@@ -179,6 +179,10 @@ def test_param_counts_match_torchvision():
         'inception_v3': 27161264,   # with AuxLogits
         'resnet50': 25557032, 'densenet121': 7978856, 'mobilenet_v2': 3504872,
         'alexnet': 61100840,
+        # torchvision-exact ViTs: bare class_token + qkv bias + pos_embedding
+        # with class-token row (reference eval split rows, eval_ghn.py:73-91)
+        'vit_b_16': 86567656, 'vit_b_32': 88224232,
+        'vit_l_16': 304326632, 'vit_l_32': 306535400,
     }
     for name, want in counts.items():
         m = TORCH_ZOO[name](num_classes=1000)

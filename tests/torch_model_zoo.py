@@ -421,6 +421,10 @@ ZOO = {
     'mini_inception': lambda: MiniInception(),
     'mini_mobile': lambda: MiniMobile(),
     'mini_vit': lambda: MiniViT(),
+    # torchvision-exact ViT structure: bare class_token, MultiheadAttention
+    # in_proj qkv bias, Encoder.pos_embedding (reference graph.py:626-634)
+    'mini_tv_vit': lambda: __import__('ghn3_tpu.zoo.torch_zoo', fromlist=['vit_b_16'])
+        .vit_b_16(num_classes=10, dim=32, depth=2, heads=2, patch=8, img_size=32),
     'mini_swin': lambda: SwinTransformer(),
     'mini_mha': lambda: MiniMHANet(),
     'tied_weights': lambda: TiedWeightNet(),

@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""The end-to-end learning proof: do a meta-trained GHN's predicted parameters
+beat random initialization on HELD-OUT architectures?
+
+This is the reference framework's entire value proposition
+(/root/reference/ghn3_results.json: `ghn3` vs `randinit-*` columns; recipe
+/root/reference/train_ghn_ddp.py:16-22). Offline recipe (RESULTS.md):
+
+  python scripts/generate_deepnets1m.py --out ./data/dn1m_digits -n 3000 --val 64 \\
+      --cells 3,4 --steps 2 --channels 32,64 --fc-dims 128 --c-mult 2 \\
+      --fc-layers 1 --glob-avg-p 1.0 --seed 7
+  python cli/train_ghn.py -d digits --nets_dir ./data/dn1m_digits -m 8 -b 64 \\
+      --hid 64 --layers 3 --heads 8 --ln --weight_norm --predparam_wd 3e-5 \\
+      -e 400 --num_ch 32,64 --fc_dims 128 --name learning_proof
+  python tools/learning_proof.py --ckpt checkpoints/learning_proof/checkpoint.npz \\
+      --nets_dir ./data/dn1m_digits --out RESULTS.md
+
+For each held-out val architecture (NEVER seen during meta-training) it
+evaluates digits-test top-1 under three parameter sources:
+
+  predicted   — the trained GHN's forward pass (one shot, no target training)
+  untrained   — an identically-configured GHN with fresh random weights
+                (controls for any accuracy a random GHN mapping provides)
+  randinit    — standard He initialization (the papers' baseline)
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def eval_suite(ghn, suite, data, batch_size, label):
+    from ghn3_tpu.evaluate import predict_and_eval_suite
+    rows = predict_and_eval_suite(ghn, suite, data=data, batch_size=batch_size)
+    return {r['arch']: r for r in rows}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--ckpt', required=True)
+    ap.add_argument('--nets_dir', default='./data/dn1m_digits')
+    ap.add_argument('--dataset', default='digits')
+    ap.add_argument('--num_nets', type=int, default=32)
+    ap.add_argument('--split', default='val')
+    ap.add_argument('--batch_size', type=int, default=128)
+    ap.add_argument('--json', default='results/learning_proof.json')
+    ap.add_argument('--out', default=None, help='append a markdown table here')
+    ap.add_argument('--platform', default=None)
+    args = ap.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update('jax_platforms', args.platform)
+
+    from ghn3_tpu import GHN3
+    from ghn3_tpu.data.deepnets1m import DeepNets1M
+    from ghn3_tpu.data.images import image_loader
+    from ghn3_tpu.evaluate import he_init_params, infer
+    from ghn3_tpu.nets.darts import Network
+    from ghn3_tpu.utils.logging import log
+
+    ghn = GHN3.from_pretrained(args.ckpt)
+    log(f'loaded GHN ({ghn.num_params()} params): {ghn.config}')
+    data = image_loader(args.dataset, './data', imsize=32, split='val')
+
+    ds = DeepNets1M(split=args.split, nets_dir=args.nets_dir,
+                    num_nets=args.num_nets, attach_net=False)
+    suite = {}
+    for i in range(len(ds)):
+        g = ds[i]
+        net = Network(is_imagenet_input=False, num_classes=data.num_classes,
+                      **g.net_args)
+        suite[f'{args.split}_{i}'] = (g, net)
+    log(f'{len(suite)} held-out {args.split} architectures from {args.nets_dir}')
+
+    t0 = time.time()
+    predicted = eval_suite(ghn, suite, data, args.batch_size, 'predicted')
+    log(f'predicted-params eval done in {time.time() - t0:.1f}s')
+
+    # control: identical GHN config, fresh random weights
+    ghn0 = GHN3(ghn.config, seed=123456)
+    untrained = eval_suite(ghn0, suite, data, args.batch_size, 'untrained-ghn')
+
+    # baseline: standard He init per architecture
+    randinit = {}
+    for j, (name, (_g, net)) in enumerate(suite.items()):
+        params = he_init_params(net, seed=1000 + j)
+        top1, top5 = infer(net, params, data, batch_size=args.batch_size)
+        randinit[name] = {'top1': top1, 'top5': top5}
+        log(f'randinit {name}: top1={top1:.2f}')
+
+    rows = []
+    for name in suite:
+        rows.append({
+            'arch': name,
+            'n_nodes': predicted[name]['n_nodes'],
+            'paramnorm': predicted[name]['paramnorm'],
+            'top1_predicted': predicted[name]['top1'],
+            'top1_untrained_ghn': untrained[name]['top1'],
+            'top1_randinit': randinit[name]['top1'],
+            'top5_predicted': predicted[name]['top5'],
+        })
+    summary = {
+        'ckpt': args.ckpt,
+        'dataset': args.dataset,
+        'split': args.split,
+        'n_archs': len(rows),
+        'mean_top1_predicted': float(np.mean([r['top1_predicted'] for r in rows])),
+        'mean_top1_untrained_ghn': float(np.mean([r['top1_untrained_ghn'] for r in rows])),
+        'mean_top1_randinit': float(np.mean([r['top1_randinit'] for r in rows])),
+        'min_top1_predicted': float(np.min([r['top1_predicted'] for r in rows])),
+        'archs_beating_randinit': int(sum(r['top1_predicted'] > r['top1_randinit']
+                                          for r in rows)),
+        'rows': rows,
+    }
+    os.makedirs(os.path.dirname(args.json) or '.', exist_ok=True)
+    with open(args.json, 'w') as f:
+        json.dump(summary, f, indent=1)
+    log(json.dumps({k: v for k, v in summary.items() if k != 'rows'}, indent=1))
+
+    if args.out:
+        lines = ['', '| arch | nodes | predicted top-1 | untrained-GHN | rand init |',
+                 '|---|---|---|---|---|']
+        for r in rows:
+            lines.append('| %s | %d | **%.2f** | %.2f | %.2f |' % (
+                r['arch'], r['n_nodes'], r['top1_predicted'],
+                r['top1_untrained_ghn'], r['top1_randinit']))
+        lines.append('| **mean** |  | **%.2f** | %.2f | %.2f |' % (
+            summary['mean_top1_predicted'], summary['mean_top1_untrained_ghn'],
+            summary['mean_top1_randinit']))
+        with open(args.out, 'a') as f:
+            f.write('\n'.join(lines) + '\n')
+        log(f'table appended to {args.out}')
+
+
+if __name__ == '__main__':
+    main()
