@@ -94,6 +94,11 @@ class BucketQueue:
         self.input_size = input_size
         self._queues: Dict[ArchBucket, List[GraphDef]] = {}
         self._age: Dict[ArchBucket, int] = {}
+        # sampling-fidelity counters (dup_slots counts meta-batch slots filled
+        # by cycling a stalled bucket's members; see docs/DESIGN.md §9 and
+        # tools/queue_stats.py for the measured deviation vs the reference's
+        # uniform shuffled batches)
+        self.stats = {'batches': 0, 'slots': 0, 'dup_slots': 0, 'flushes': 0}
 
     def _bucket(self, g: GraphDef) -> ArchBucket:
         kw = {} if self.vocab is None else {'vocab': tuple(self.vocab)}
@@ -110,6 +115,8 @@ class BucketQueue:
                 self._age[other] += 1
         if len(q) >= self.meta_batch_size:
             del self._queues[b], self._age[b]
+            self.stats['batches'] += 1
+            self.stats['slots'] += self.meta_batch_size
             return q[:self.meta_batch_size]
         for ob, age in self._age.items():
             if age >= self.patience:
@@ -119,6 +126,10 @@ class BucketQueue:
                 while len(oq) < self.meta_batch_size:   # cycle members to fill
                     oq.append(oq[i % n0])
                     i += 1
+                self.stats['batches'] += 1
+                self.stats['slots'] += self.meta_batch_size
+                self.stats['dup_slots'] += self.meta_batch_size - n0
+                self.stats['flushes'] += 1
                 return oq[:self.meta_batch_size]
         return None
 
