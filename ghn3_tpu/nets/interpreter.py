@@ -90,10 +90,40 @@ def vocab_from_primitives(names: Sequence[str]) -> Tuple[Tuple[str, int], ...]:
     return tuple(sorted(seen))
 
 
+# Width folding: channel counts are padded UP to the next class so that nets of
+# different true widths share one compiled program, with the true width carried
+# as data. This is numerically EXACT because the decoder computes the full
+# (max_shape[0], max_shape[1]) block and every smaller decode is a slice of it
+# (reference ConvDecoder3.forward, nn.py:736-760: reshape at out_shape[:2] then
+# `x[:, :, :max_shape[1]]` / `x[:, :max_shape[0]]`), and parameter tiling is
+# cyclic — so tiling to the padded width and masking rows/cols beyond the true
+# width reproduces the true-width tensors bit for bit (tests/test_interpreter.py
+# ::test_width_folding_matches_exact). Folding cuts the wider_nets bucket
+# cardinality by the |num_ch| x |fc_dim| factor (7x8 = 56 in the reference
+# sampling, deepnets1m.py:99-133); see tools/bucket_stats.py.
+WIDTH_CLASSES = (32, 64, 128, 256, 512)
+FC_CLASSES = (512,)
+# Cell slot-count / concat-length padding classes ("pad steps/mult to family
+# maxima"): padded slots run the 'none' branch and padded concat segments are
+# zeros removed by compaction, so genotypes of different step/concat counts
+# share one program.
+STEP_CLASSES = (2, 4)
+MULT_CLASSES = (2, 4, 6)
+
+
+def pad_class(v: int, classes: Tuple[int, ...]) -> int:
+    for c in classes:
+        if v <= c:
+            return c
+    return v
+
+
 @dataclasses.dataclass(frozen=True)
 class ArchBucket:
     """Static configuration of one compiled interpreter program. Everything that
-    determines tensor shapes lives here; genotype content is data."""
+    determines tensor shapes lives here; genotype content is data. Under width
+    folding, ``C``/``fc_dim`` are the PROGRAM (padded) widths and the net's true
+    widths ride in the arch data (``c_true``/``fc_true``)."""
     C: int
     n_cells: int
     steps_normal: int
@@ -114,6 +144,9 @@ class ArchBucket:
     imagenet_stride: int
     input_size: int = 0        # 0 = default (224 imagenet / 32 otherwise)
     vocab: Tuple[Tuple[str, int], ...] = DEFAULT_VOCAB
+    c_folded: bool = False     # C is a padded class; true width is arch data
+    fc_folded: bool = False    # fc_dim is padded; true fc width is arch data
+    sm_folded: bool = False    # steps/mult are padded; true mults are arch data
 
     @property
     def image_size(self) -> int:
@@ -372,6 +405,108 @@ class _Fetcher:
             b = normalize_params(b, False)
         return _saved(b), _frob(b)
 
+    # -- width-folded fetchers -------------------------------------------
+    # Decode at the PADDED key (one decode program per bucket), then expand to
+    # the padded tensor with the TRUE-width cyclic tiling and zero rows/cols
+    # beyond the true dims. Exactness: every decode is a slice of the full
+    # (max0, max1) block (ghn_core.decode_conv; reference nn.py:736-760), and
+    # tile_params is cyclic with base block min(true, decoded) — reproduced
+    # here with traced moduli. Masked-out channels stay exactly zero through
+    # the whole target net (conv/BN/pool/relu of zeros is zero), so folded
+    # logits equal the exact-width program's.
+
+    def _tile_dyn(self, w, pad0, pad1, t0, t1):
+        s0, s1 = w.shape[0], w.shape[1]
+        m0 = jnp.minimum(t0, s0)
+        m1 = jnp.minimum(t1, s1)
+        r = jnp.arange(pad0, dtype=jnp.int32)
+        c = jnp.arange(pad1, dtype=jnp.int32)
+        wp = jnp.take(jnp.take(w, jnp.mod(r, m0), axis=0), jnp.mod(c, m1), axis=1)
+        mask = (r[:, None] < t0) & (c[None, :] < t1)
+        return wp * mask.reshape(mask.shape + (1,) * (w.ndim - 2)).astype(w.dtype)
+
+    def _tile_dyn_1d(self, z, pad, t):
+        m = jnp.minimum(t, z.shape[0])
+        i = jnp.arange(pad, dtype=jnp.int32)
+        return jnp.take(z, jnp.mod(i, m), axis=0) * (i < t).astype(z.dtype)
+
+    def w_dyn(self, node_id, pad_sz: Tuple[int, ...], t0, t1, fan_in_true):
+        """Folded 4d/2d weight: decode at padded key, dynamic tile+mask,
+        fan-in normalize with the TRUE fan-in (reference nn.py:583)."""
+        from ..predict import decode_group
+        key = decode_key(tuple(pad_sz), self.cfg.max_shape, False, False)
+        w = decode_group(self.params, self.cfg, key, None, z=self._zfc(node_id))[0]
+        w = self._tile_dyn(w, pad_sz[0], pad_sz[1], t0, t1)
+        if len(pad_sz) == 2:
+            w = w.reshape(pad_sz)
+        if self.weight_norm:
+            no_relu = len(pad_sz) > 2 and (pad_sz[1] == 1 or pad_sz[2] < pad_sz[3])
+            beta = 1.0 if no_relu else 2.0
+            w = w * jnp.sqrt(beta / jnp.maximum(1, fan_in_true).astype(jnp.float32))
+        return _saved(self.cast(w)), _frob(w)
+
+    def pair_dyn(self, node_id, pad: int, t):
+        z = self._z1d(node_id)
+        w = self._tile_dyn_1d(z[0], pad, t)
+        b = self._tile_dyn_1d(z[1], pad, t)
+        if self.weight_norm:
+            w = normalize_params(w, True)
+            b = normalize_params(b, False)
+            # masked channels must stay exactly zero (2*sigmoid(0) = 1)
+            live = (jnp.arange(pad) < t).astype(w.dtype)
+            w = w * live
+            b = b * live
+        return _saved(w), _saved(b), _frob(w) + _frob(b)
+
+    def bias_dyn(self, node_id, pad: int, t):
+        z = self._z1d(node_id)
+        b = self._tile_dyn_1d(z[1], pad, t)
+        if self.weight_norm:
+            b = normalize_params(b, False)
+            b = b * (jnp.arange(pad) < t).astype(b.dtype)
+        return _saved(self.cast(b)), _frob(b)
+
+    def cls_w_dyn(self, node_id, pad_sz: Tuple[int, int], t_in, fan_in_true):
+        """Folded classification weight: class decode columns are in-dim slices
+        (the class head contracts the out axis per column, ghn_core.decode_conv)."""
+        from ..predict import decode_group
+        key = decode_key(tuple(pad_sz), self.cfg.max_shape, True, False)
+        w = decode_group(self.params, self.cfg, key, None, z=self._zfc(node_id))[0]
+        m = jnp.minimum(t_in, w.shape[1])
+        c = jnp.arange(pad_sz[1], dtype=jnp.int32)
+        w = jnp.take(w, jnp.mod(c, m), axis=1) * (c < t_in).astype(w.dtype)[None, :]
+        if self.weight_norm:
+            w = w * jnp.sqrt(2.0 / jnp.maximum(1, fan_in_true).astype(jnp.float32))
+        return _saved(w), _frob(w)
+
+    def fetch_specs_dyn(self, node_ids, specs, true_dims):
+        """Folded fetch_specs: ``true_dims[i]`` is (t_out, t_in, fan_in_true)
+        per spec (traced scalars), or None to use the static path for that spec."""
+        out, total = [], 0.0
+        for i, (kind, _name, sz) in enumerate(specs):
+            nid = node_ids[i]
+            dyn = true_dims[i]
+            if kind == 'pair':
+                if dyn is None:
+                    w, b, f = self.pair(nid, sz)
+                else:
+                    w, b, f = self.pair_dyn(nid, sz[0], dyn[0])
+                out += [w, b]
+            elif kind == 'bias':
+                if dyn is None:
+                    b, f = self.bias(nid, sz)
+                else:
+                    b, f = self.bias_dyn(nid, sz[0], dyn[0])
+                out.append(b)
+            else:
+                if dyn is None:
+                    w, f = self.w(nid, sz)
+                else:
+                    w, f = self.w_dyn(nid, sz, dyn[0], dyn[1], dyn[2])
+                out.append(w)
+            total = total + f
+        return out, total
+
     def fetch_specs(self, node_ids, specs):
         """Decode a spec list; returns (tensors in spec order, total frobenius).
         ``pair`` specs contribute two tensors (weight, bias). Decoded tensors
@@ -453,17 +588,115 @@ def _pool(x, kind, stride, k: int = 3):
     return summed / jnp.asarray(_pool_counts(x.shape[1], x.shape[2], stride, k), x.dtype)
 
 
+def _compact_channels(y, n_seg: int, seg_pad: int, seg_true, live_total=None):
+    """Re-pack a channel concat of ``n_seg`` padded segments (each ``seg_pad``
+    wide, live prefix ``seg_true``) into a single live prefix, zeroing the tail.
+    ``live_total`` (default n_seg*seg_true) caps the live region when only the
+    first mult_true segments are real (steps/mult folding). Keeps the
+    width-folded invariant that every state's live channels are a prefix, so
+    downstream weights need only rectangular masks."""
+    p = jnp.arange(n_seg * seg_pad, dtype=jnp.int32)
+    st = jnp.maximum(seg_true, 1)
+    src = jnp.clip((p // st) * seg_pad + jnp.mod(p, st), 0, n_seg * seg_pad - 1)
+    out = jnp.take(y, src, axis=-1)
+    if live_total is None:
+        live_total = n_seg * seg_true
+    return out * (p < live_total).astype(y.dtype)
+
+
+@dataclasses.dataclass
+class CellTrue:
+    """Traced true-width counterparts of CellGeom's channel fields (width
+    folding). Every state keeps its live channels as a prefix (concats are
+    re-packed by :func:`_compact_channels`), so these scalars are all a
+    consumer needs."""
+    c: object
+    c_prev_prev: object
+    c_prev: object
+    c_out_cell: object
+
+
+def true_widths(b: ArchBucket, geoms: Sequence[CellGeom], c_true, mult_true=None):
+    """Per-cell true channel counts as traced scalars, mirroring
+    cell_geometry's bookkeeping on the padded side. ``mult_true`` is the
+    per-cell true concat length ((n_cells,) data under steps/mult folding;
+    None uses the static geom.mult)."""
+    c_stem_mult = 3 if (b.stem_type == 0 and b.preproc and not b.is_imagenet_input) else 1
+    c_pp = c_p = c_true * (c_stem_mult if b.stem_type == 0 else 1)
+    c_curr = c_true
+    out = []
+    for g in geoms:
+        if g.reduction:
+            c_curr = c_curr * b.C_mult
+        m = g.mult if mult_true is None else mult_true[g.cell]
+        out.append(CellTrue(c=c_curr, c_prev_prev=c_pp, c_prev=c_p,
+                            c_out_cell=m * c_curr))
+        c_pp, c_p = c_p, m * c_curr
+    return out
+
+
+def op_true_dims(base: str, k: int, c_t, has_norm: bool):
+    """True (t_out, t_in, fan_in) triples — or (t,) for pair/bias rows —
+    aligned with :func:`op_param_specs` rows, given the true channel count
+    ``c_t`` (a traced scalar). Width folding only (msa lives in ViT nets,
+    which keep exact widths)."""
+    if base in ('none', 'skip_connect', 'avg_pool', 'max_pool'):
+        return []
+    kk = k * k
+    if base == 'skip_reduce':
+        dims = [(c_t // 2, c_t, c_t), (c_t // 2, c_t, c_t)]
+        if has_norm:
+            dims.append((c_t,))
+        return dims
+    if base == 'conv':
+        dims = [(c_t, c_t, c_t * kk)]
+        if has_norm:
+            dims.append((c_t,))
+        return dims
+    if base == 'conv2':
+        dims = [(c_t, c_t, c_t * k), (c_t, c_t, c_t * k)]
+        if has_norm:
+            dims.append((c_t,))
+        return dims
+    if base == 'sep_conv':
+        dims = [(c_t, 1, kk), (c_t, c_t, c_t)]
+        if has_norm:
+            dims.append((c_t,))
+        dims += [(c_t, 1, kk), (c_t, c_t, c_t)]
+        if has_norm:
+            dims.append((c_t,))
+        return dims
+    if base == 'dil_conv':
+        dims = [(c_t, 1, kk), (c_t, c_t, c_t)]
+        if has_norm:
+            dims.append((c_t,))
+        return dims
+    if base == 'cse':
+        return [(c_t // 2, c_t, c_t), (c_t // 2,),
+                (c_t, c_t // 2, c_t // 2), (c_t,)]
+    raise NotImplementedError(f'width folding does not support {base!r}')
+
+
 # ---------------------------------------------------------------------------
 # Branch builders
 # ---------------------------------------------------------------------------
 
 def _make_branch(fe: _Fetcher, base: str, k: int, strided: bool, c: int,
-                 has_norm: bool, heads: int = 8):
+                 has_norm: bool, heads: int = 8, c_t=None):
     """One lax.switch branch: (x_hi, x_lo, node_ids) -> (y_lo, predwd).
-    Strided branches read x_hi (pre-reduction resolution), others x_lo."""
+    Strided branches read x_hi (pre-reduction resolution), others x_lo.
+    ``c_t`` (traced scalar) enables width-folded execution: weights are
+    fetched via the dynamic tile+mask path and concats re-packed to a live
+    prefix."""
     stride = 2 if strided else 1
-    specs = op_param_specs('skip_reduce' if (base == 'skip_connect' and strided) else base,
-                           k, c, c, has_norm)
+    spec_base = 'skip_reduce' if (base == 'skip_connect' and strided) else base
+    specs = op_param_specs(spec_base, k, c, c, has_norm)
+
+    def fetch(node_ids):
+        if c_t is None:
+            return fe.fetch_specs(node_ids, specs)
+        return fe.fetch_specs_dyn(node_ids, specs,
+                                  op_true_dims(spec_base, k, c_t, has_norm))
 
     def maybe_bn(y, t, i):
         return _bn(y, t[i], t[i + 1]) if has_norm else y
@@ -476,15 +709,17 @@ def _make_branch(fe: _Fetcher, base: str, k: int, strided: bool, c: int,
         if base == 'skip_connect':
             if not strided:
                 return x, jnp.float32(0.0)
-            t, f = fe.fetch_specs(node_ids, specs)
+            t, f = fetch(node_ids)
             xr = jax.nn.relu(x)
             y1 = _conv(xr, t[0], stride=2)
             y2 = _conv(xr[:, 1:, 1:, :], t[1], stride=2)
             y = jnp.concatenate([y1, y2], axis=-1)
+            if c_t is not None:
+                y = _compact_channels(y, 2, c // 2, c_t // 2)
             return maybe_bn(y, t, 2), f
         if base in ('avg_pool', 'max_pool'):
             return _pool(x, base[:3], stride, k), jnp.float32(0.0)
-        t, f = fe.fetch_specs(node_ids, specs)
+        t, f = fetch(node_ids)
         if base == 'conv':
             y = _conv(jax.nn.relu(x), t[0], stride=stride, padding=k // 2)
             return maybe_bn(y, t, 1), f
@@ -540,16 +775,17 @@ def _make_branch(fe: _Fetcher, base: str, k: int, strided: bool, c: int,
     return branch
 
 
-def _branch_tables(fe: _Fetcher, bucket: ArchBucket, c: int):
-    """(normal_branches, reduce_branches) for channel width ``c``. Reduce tables
-    append the strided variants at offset len(vocab)."""
+def _branch_tables(fe: _Fetcher, bucket: ArchBucket, c: int, c_t=None):
+    """(normal_branches, reduce_branches) for channel width ``c`` (padded width
+    when ``c_t`` carries the true width). Reduce tables append the strided
+    variants at offset len(vocab)."""
     normal = [
-        _make_branch(fe, base, k, False, c, bucket.has_norm)
+        _make_branch(fe, base, k, False, c, bucket.has_norm, c_t=c_t)
         for base, k in bucket.vocab]
     if bucket.is_vit:
         return normal, normal
     reduce_tbl = normal + [
-        _make_branch(fe, base, k, True, c, bucket.has_norm)
+        _make_branch(fe, base, k, True, c, bucket.has_norm, c_t=c_t)
         for base, k in bucket.vocab]
     return normal, reduce_tbl
 
@@ -558,36 +794,65 @@ def _branch_tables(fe: _Fetcher, bucket: ArchBucket, c: int):
 # Interpreter forward
 # ---------------------------------------------------------------------------
 
-def _relu_conv_bn_1x1(fe: _Fetcher, x, node_ids, c_in: int, c_out: int, has_norm: bool):
-    """Cell preprocessing ReLUConvBN (ks=1)."""
-    w, f = fe.w(node_ids[0], (c_out, c_in, 1, 1))
+def _relu_conv_bn_1x1(fe: _Fetcher, x, node_ids, c_in: int, c_out: int, has_norm: bool,
+                      ci_t=None, co_t=None):
+    """Cell preprocessing ReLUConvBN (ks=1). ``ci_t``/``co_t`` carry true
+    widths under width folding."""
+    if ci_t is None:
+        w, f = fe.w(node_ids[0], (c_out, c_in, 1, 1))
+    else:
+        w, f = fe.w_dyn(node_ids[0], (c_out, c_in, 1, 1), co_t, ci_t, ci_t)
     y = _conv(jax.nn.relu(x), w)
     if has_norm:
-        bw, bb, f2 = fe.pair(node_ids[1], (c_out,))
+        if ci_t is None:
+            bw, bb, f2 = fe.pair(node_ids[1], (c_out,))
+        else:
+            bw, bb, f2 = fe.pair_dyn(node_ids[1], c_out, co_t)
         y = _bn(y, bw, bb)
         f = f + f2
     return y, f
 
 
-def _factorized_reduce(fe: _Fetcher, x, node_ids, c_in: int, c_out: int, has_norm: bool):
-    w1, f1 = fe.w(node_ids[0], (c_out // 2, c_in, 1, 1))
-    w2, f2 = fe.w(node_ids[1], (c_out // 2, c_in, 1, 1))
+def _factorized_reduce(fe: _Fetcher, x, node_ids, c_in: int, c_out: int, has_norm: bool,
+                       ci_t=None, co_t=None):
+    if ci_t is None:
+        w1, f1 = fe.w(node_ids[0], (c_out // 2, c_in, 1, 1))
+        w2, f2 = fe.w(node_ids[1], (c_out // 2, c_in, 1, 1))
+    else:
+        w1, f1 = fe.w_dyn(node_ids[0], (c_out // 2, c_in, 1, 1), co_t // 2, ci_t, ci_t)
+        w2, f2 = fe.w_dyn(node_ids[1], (c_out // 2, c_in, 1, 1), co_t // 2, ci_t, ci_t)
     xr = jax.nn.relu(x)
     y = jnp.concatenate([_conv(xr, w1, stride=2),
                          _conv(xr[:, 1:, 1:, :], w2, stride=2)], axis=-1)
+    if ci_t is not None:
+        y = _compact_channels(y, 2, c_out // 2, co_t // 2)
     f = f1 + f2
     if has_norm:
-        bw, bb, f3 = fe.pair(node_ids[2], (c_out,))
+        if ci_t is None:
+            bw, bb, f3 = fe.pair(node_ids[2], (c_out,))
+        else:
+            bw, bb, f3 = fe.pair_dyn(node_ids[2], c_out, co_t)
         y = _bn(y, bw, bb)
         f = f + f3
     return y, f
 
 
-def _run_stem(fe: _Fetcher, bucket: ArchBucket, stem_nodes, images):
+def _run_stem(fe: _Fetcher, bucket: ArchBucket, stem_nodes, images, c_t=None):
     """images arrive NCHW (the public layout); everything after is NHWC.
-    Returns (s0, s1, predwd)."""
+    Returns (s0, s1, predwd). ``c_t`` = true base width under folding."""
     b = bucket
     images = images.transpose(0, 2, 3, 1)
+
+    def w4(nid, pad_sz, t0, t1, fan):
+        if c_t is None:
+            return fe.w(nid, pad_sz)
+        return fe.w_dyn(nid, pad_sz, t0, t1, fan)
+
+    def pr(nid, pad, t):
+        if c_t is None:
+            return fe.pair(nid, (pad,))
+        return fe.pair_dyn(nid, pad, t)
+
     if b.is_vit:
         patch = 16 if b.is_imagenet_input else 3
         w, f1 = fe.w(stem_nodes[0], (b.C, 3, patch, patch))
@@ -597,12 +862,14 @@ def _run_stem(fe: _Fetcher, bucket: ArchBucket, stem_nodes, images):
         y = y + pe.transpose(0, 2, 3, 1)
         return y, y, f1 + f2
     if b.stem_type == 0:
-        c_stem = int(b.C * (3 if (b.preproc and not b.is_imagenet_input) else 1))
-        w, f = fe.w(stem_nodes[0], (c_stem, 3, b.ks, b.ks))
+        mul = 3 if (b.preproc and not b.is_imagenet_input) else 1
+        c_stem = int(b.C * mul)
+        w, f = w4(stem_nodes[0], (c_stem, 3, b.ks, b.ks),
+                  None if c_t is None else c_t * mul, 3, 3 * b.ks * b.ks)
         y = _conv(images, w, stride=b.imagenet_stride if b.is_imagenet_input else 1,
                   padding=b.ks // 2)
         if b.has_norm:
-            bw, bb, f2 = fe.pair(stem_nodes[1], (c_stem,))
+            bw, bb, f2 = pr(stem_nodes[1], c_stem, None if c_t is None else c_t * mul)
             y = _bn(y, bw, bb)
             f = f + f2
         if b.stem_pool:
@@ -610,33 +877,37 @@ def _run_stem(fe: _Fetcher, bucket: ArchBucket, stem_nodes, images):
         return y, y, f
     # stem_type 1 (ImageNet stem, nets/darts.py:355-366)
     st = 2 if b.is_imagenet_input else 1
-    w, f = fe.w(stem_nodes[0], (b.C // 2, 3, b.ks, b.ks))
+    half = None if c_t is None else c_t // 2
+    w, f = w4(stem_nodes[0], (b.C // 2, 3, b.ks, b.ks), half, 3, 3 * b.ks * b.ks)
     y = _conv(images, w, stride=st, padding=b.ks // 2)
     if b.has_norm:
-        bw, bb, f2 = fe.pair(stem_nodes[1], (b.C // 2,))
+        bw, bb, f2 = pr(stem_nodes[1], b.C // 2, half)
         y = _bn(y, bw, bb)
         f = f + f2
     y = jax.nn.relu(y)
-    w, f2 = fe.w(stem_nodes[2], (b.C, b.C // 2, 3, 3))
+    w, f2 = w4(stem_nodes[2], (b.C, b.C // 2, 3, 3), c_t, half,
+               None if c_t is None else half * 9)
     y = _conv(y, w, stride=st, padding=1)
     f = f + f2
     if b.has_norm:
-        bw, bb, f2 = fe.pair(stem_nodes[3], (b.C,))
+        bw, bb, f2 = pr(stem_nodes[3], b.C, c_t)
         y = _bn(y, bw, bb)
         f = f + f2
     s0 = y
-    w, f2 = fe.w(stem_nodes[4], (b.C, b.C, 3, 3))
+    w, f2 = w4(stem_nodes[4], (b.C, b.C, 3, 3), c_t, c_t,
+               None if c_t is None else c_t * 9)
     y = _conv(jax.nn.relu(s0), w, stride=2, padding=1)
     f = f + f2
     if b.has_norm:
-        bw, bb, f2 = fe.pair(stem_nodes[5], (b.C,))
+        bw, bb, f2 = pr(stem_nodes[5], b.C, c_t)
         y = _bn(y, bw, bb)
         f = f + f2
     return s0, y, f
 
 
-def _run_cell(fe: _Fetcher, bucket: ArchBucket, geom: CellGeom, arch, s0, s1):
-    """Execute one cell; returns (out, predwd)."""
+def _run_cell(fe: _Fetcher, bucket: ArchBucket, geom: CellGeom, arch, s0, s1,
+              ct: Optional[CellTrue] = None):
+    """Execute one cell; returns (out, predwd). ``ct`` = true widths (folding)."""
     ci = geom.cell
     predwd = jnp.float32(0.0)
     vit = bucket.is_vit
@@ -645,18 +916,25 @@ def _run_cell(fe: _Fetcher, bucket: ArchBucket, geom: CellGeom, arch, s0, s1):
     if bucket.preproc:
         if geom.reduction_prev and not vit:
             p0, f = _factorized_reduce(fe, s0, pre[0:3], geom.c_prev_prev, geom.c,
-                                       bucket.has_norm)
+                                       bucket.has_norm,
+                                       ci_t=None if ct is None else ct.c_prev_prev,
+                                       co_t=None if ct is None else ct.c)
         else:
             p0, f = _relu_conv_bn_1x1(fe, s0, pre[0:2], geom.c_prev_prev, geom.c,
-                                      bucket.has_norm)
+                                      bucket.has_norm,
+                                      ci_t=None if ct is None else ct.c_prev_prev,
+                                      co_t=None if ct is None else ct.c)
         predwd = predwd + f
-        p1, f = _relu_conv_bn_1x1(fe, s1, pre[3:5], geom.c_prev, geom.c, bucket.has_norm)
+        p1, f = _relu_conv_bn_1x1(fe, s1, pre[3:5], geom.c_prev, geom.c, bucket.has_norm,
+                                  ci_t=None if ct is None else ct.c_prev,
+                                  co_t=None if ct is None else ct.c)
         predwd = predwd + f
     else:
         p0 = s0[:, ::2, ::2, :] if (geom.reduction_prev and not vit) else s0
         p1 = s1
 
-    normal_tbl, reduce_tbl = _branch_tables(fe, bucket, geom.c)
+    normal_tbl, reduce_tbl = _branch_tables(fe, bucket, geom.c,
+                                            c_t=None if ct is None else ct.c)
     n_slots = 2 * geom.steps
     slot_op = arch['slot_op'][ci, :n_slots].reshape(geom.steps, 2)
     slot_src = arch['slot_src'][ci, :n_slots].reshape(geom.steps, 2)
@@ -722,6 +1000,12 @@ def _run_cell(fe: _Fetcher, bucket: ArchBucket, geom: CellGeom, arch, s0, s1):
     # (mult, B, H, W, C) -> channel concat in concat-index order
     out = cat.transpose(1, 2, 3, 0, 4).reshape(bsz, cat.shape[2], cat.shape[3],
                                                geom.mult * geom.c)
+    if ct is not None:
+        # re-pack live channel prefixes of the mult segments into one prefix
+        # (c_out_cell = mult_true * c_true caps the live region when concat
+        # segments are padded)
+        out = _compact_channels(out, geom.mult, geom.c, ct.c,
+                                live_total=ct.c_out_cell)
     return out, predwd
 
 
@@ -739,10 +1023,20 @@ def interpret_forward(params, cfg: GHNConfig, bucket: ArchBucket,
     fe = _Fetcher(params, cfg, x_flat, weight_norm)
     geoms = cell_geometry(bucket)
 
+    folded = bucket.c_folded or bucket.fc_folded or bucket.sm_folded
+    if folded:
+        c_true = arch['c_true']
+        fc_true = arch['fc_true'] if bucket.fc_dim else 0
+        cts = true_widths(bucket, geoms, c_true,
+                          mult_true=arch['mult_true'] if bucket.sm_folded else None)
+    else:
+        cts = [None] * len(geoms)
+
     images = images.astype(fe.compute_dtype)
-    s0, s1, predwd = _run_stem(fe, bucket, arch['stem_nodes'], images)
-    for geom in geoms:
-        out, f = _run_cell(fe, bucket, geom, arch, s0, s1)
+    s0, s1, predwd = _run_stem(fe, bucket, arch['stem_nodes'], images,
+                               c_t=c_true if folded else None)
+    for geom, ct in zip(geoms, cts):
+        out, f = _run_cell(fe, bucket, geom, arch, s0, s1, ct=ct)
         predwd = predwd + f
         s0, s1 = s1, out
 
@@ -756,15 +1050,31 @@ def interpret_forward(params, cfg: GHNConfig, bucket: ArchBucket,
     feat = head_features(bucket, geoms)
     dims = [feat] + [bucket.fc_dim] * max(0, bucket.fc_layers - 1) + [bucket.num_classes] \
         if bucket.fc_layers > 1 else [feat, bucket.num_classes]
+    if folded:
+        feat_t = cts[-1].c_out_cell if geoms else c_true
+        if not bucket.glob_avg:
+            feat_t = feat_t * (feat // (geoms[-1].c_out_cell if geoms else bucket.C))
+        dims_t = [feat_t] + [fc_true] * max(0, bucket.fc_layers - 1) \
+            + [bucket.num_classes] if bucket.fc_layers > 1 \
+            else [feat_t, bucket.num_classes]
     cls = arch['cls_nodes']
     for li in range(len(dims) - 1):
         last = li == len(dims) - 2
         if last:
-            w, fw = fe.cls_w(cls[2 * li], (dims[li + 1], dims[li]))
+            if folded:
+                w, fw = fe.cls_w_dyn(cls[2 * li], (dims[li + 1], dims[li]),
+                                     dims_t[li], dims_t[li])
+            else:
+                w, fw = fe.cls_w(cls[2 * li], (dims[li + 1], dims[li]))
             b, fb = fe.cls_b(cls[2 * li + 1], (dims[li + 1],))
         else:
-            w, fw = fe.w(cls[2 * li], (dims[li + 1], dims[li]))
-            b, fb = fe.bias(cls[2 * li + 1], (dims[li + 1],))
+            if folded:
+                w, fw = fe.w_dyn(cls[2 * li], (dims[li + 1], dims[li]),
+                                 dims_t[li + 1], dims_t[li], dims_t[li])
+                b, fb = fe.bias_dyn(cls[2 * li + 1], dims[li + 1], dims_t[li + 1])
+            else:
+                w, fw = fe.w(cls[2 * li], (dims[li + 1], dims[li]))
+                b, fb = fe.bias(cls[2 * li + 1], (dims[li + 1],))
         predwd = predwd + fw + fb
         x = x @ w.T + b
         if not last:
@@ -782,15 +1092,48 @@ class EncodeError(ValueError):
 
 def bucket_of(net_args: dict, num_classes: int, is_imagenet_input: bool,
               vocab: Tuple[Tuple[str, int], ...] = DEFAULT_VOCAB,
-              input_size: int = 0) -> ArchBucket:
-    """Static bucket key from DeepNets-1M ``net_args`` (cheap; no graph needed)."""
+              input_size: int = 0, fold_widths: bool = True) -> ArchBucket:
+    """Static bucket key from DeepNets-1M ``net_args`` (cheap; no graph needed).
+
+    With ``fold_widths`` (default), C and fc_dim are padded up to WIDTH_CLASSES /
+    FC_CLASSES so same-class nets share one program (exact numerics; see the
+    module comment). Nets whose width already equals its class run the static
+    exact program — the fixed-width bench path compiles the same programs as
+    before. ViT nets (stem_type 2) keep exact widths: their per-head attention
+    reshapes are width-static (documented limitation)."""
     g: Genotype = net_args['genotype']
     is_vit = any(n[0] == 'msa' for n in g.normal + g.reduce)
     norm = net_args.get('norm', 'bn')
+    c_true = int(net_args['C'])
+    fc_layers = int(net_args.get('fc_layers', 1) or 1)
+    # fc_dim is canonically 0 when there is no hidden classifier layer (it is
+    # unused then and must not split program keys)
+    fc_true = int(net_args.get('fc_dim', 0) or 0) if fc_layers > 1 else 0
+    sn, sr = len(g.normal) // 2, len(g.reduce) // 2
+    mn, mr = len(g.normal_concat), len(g.reduce_concat)
+    c_prog, fc_prog = c_true, fc_true
+    sn_p, sr_p, mn_p, mr_p = sn, sr, mn, mr
+    c_folded = fc_folded = sm_folded = False
+    if fold_widths and not is_vit:
+        # folding is UNIFORM: a net already at its pad class still runs the
+        # folded program (masks are no-ops), so boundary nets don't split keys
+        c_prog = pad_class(c_true, WIDTH_CLASSES)
+        c_folded = True
+        if fc_true:
+            fc_prog = pad_class(fc_true, FC_CLASSES)
+            fc_folded = True
+        sn_p = pad_class(sn, STEP_CLASSES)
+        sr_p = pad_class(sr, STEP_CLASSES)
+        if bool(net_args.get('preproc', True)):
+            mn_p = pad_class(mn, MULT_CLASSES)
+            mr_p = pad_class(mr, MULT_CLASSES)
+        # preproc=False nets require c_out_cell == c (states feed ops raw), so
+        # their concat length stays exact (padded slots still run 'none')
+        sm_folded = True
     return ArchBucket(
-        C=int(net_args['C']), n_cells=int(net_args['n_cells']),
-        steps_normal=len(g.normal) // 2, steps_reduce=len(g.reduce) // 2,
-        mult_normal=len(g.normal_concat), mult_reduce=len(g.reduce_concat),
+        C=c_prog, n_cells=int(net_args['n_cells']),
+        steps_normal=sn_p, steps_reduce=sr_p,
+        mult_normal=mn_p, mult_reduce=mr_p,
         stem_type=2 if is_vit else int(net_args.get('stem_type', 0)),
         stem_pool=bool(net_args.get('stem_pool', False)),
         preproc=bool(net_args.get('preproc', True)),
@@ -798,13 +1141,14 @@ def bucket_of(net_args: dict, num_classes: int, is_imagenet_input: bool,
         has_norm=norm not in (None, '', 'none'),
         ks=int(net_args.get('ks', 3)),
         glob_avg=bool(net_args.get('glob_avg', True)),
-        fc_layers=int(net_args.get('fc_layers', 1) or 1),
-        fc_dim=int(net_args.get('fc_dim', 0) or 0),
+        fc_layers=fc_layers,
+        fc_dim=fc_prog,
         num_classes=int(num_classes),
         is_imagenet_input=bool(is_imagenet_input),
         imagenet_stride=int(net_args.get('imagenet_stride', 4)),
         input_size=int(input_size),
-        vocab=tuple(vocab))
+        vocab=tuple(vocab),
+        c_folded=c_folded, fc_folded=fc_folded, sm_folded=sm_folded)
 
 
 def _vocab_id(vocab, base: str, k: int) -> int:
@@ -870,6 +1214,7 @@ def encode_arch(graph: GraphDef, num_classes: int = 10,
     }
     none_id = _vocab_id(vocab, 'none', 3)
     arch['slot_op'][:] = none_id
+    mult_true = np.zeros((n_cells,), np.int32)
 
     # ---- stem ----
     if b.is_vit:
@@ -909,7 +1254,9 @@ def encode_arch(graph: GraphDef, num_classes: int = 10,
         pairs = geno.reduce if geom.reduction else geno.normal
         concat = geno.reduce_concat if geom.reduction else geno.normal_concat
         valid = [True, True]          # states 0,1 (preprocessed inputs)
-        for i in range(geom.steps):
+        # geom.steps may be PADDED (sm folding); only true slots carry ops —
+        # padded slots keep their 'none' prefill and are never concatenated
+        for i in range(len(pairs) // 2):
             outs_valid = []
             for jj, j in enumerate((2 * i, 2 * i + 1)):
                 op_name, src = pairs[j]
@@ -937,12 +1284,16 @@ def encode_arch(graph: GraphDef, num_classes: int = 10,
             valid.append(outs_valid[0] or outs_valid[1])
 
         concat_l = list(concat)
-        if len(concat_l) != geom.mult:
+        if len(concat_l) > geom.mult:
             raise EncodeError(f'concat length mismatch in cell {ci}')
         if geom.reduction and not b.is_vit and any(cc < 2 for cc in concat_l):
             raise EncodeError('reduce-cell concat of an input state mixes resolutions')
         if not any(valid[cc] for cc in concat_l):
             raise EncodeError('invalid network: all concat states are dead')
+        mult_true[ci] = len(concat_l)
+        # padded concat entries repeat the first index; compaction's live_total
+        # (mult_true * c_true) zeroes their segments
+        concat_l = concat_l + [concat_l[0]] * (geom.mult - len(concat_l))
         arch['concat'][ci] = np.asarray(concat_l, np.int32)
 
     # ---- classifier ----
@@ -957,6 +1308,11 @@ def encode_arch(graph: GraphDef, num_classes: int = 10,
     if missing:
         raise EncodeError(f'graph param nodes not consumed by the interpreter: {missing}')
 
+    if b.c_folded or b.fc_folded or b.sm_folded:
+        arch['c_true'] = np.int32(net_args['C'])
+        arch['fc_true'] = np.int32(net_args.get('fc_dim', 0) or 0)
+        arch['mult_true'] = mult_true
+
     if cfg is not None:
         arch['shape_ind'] = arch_shape_ind(graph, b, cfg)
     return b, arch
@@ -966,6 +1322,18 @@ def arch_shape_ind(graph: GraphDef, b: ArchBucket, cfg: GHNConfig) -> np.ndarray
     """(n_nodes, 4) shape-encoder indices, identical to build_plan's for the same
     net (true target shapes for matched rows, row.sz hints otherwise)."""
     tables = tables_for(cfg)
+    if b.c_folded or b.fc_folded or b.sm_folded:
+        # the shape encoder sees the net's TRUE widths/mults (folding pads only
+        # the compiled program's geometry, never the GHN's inputs)
+        na = graph.net_args
+        g = na['genotype']
+        fc_true = int(na.get('fc_dim', 0) or 0) if b.fc_layers > 1 else 0
+        b = dataclasses.replace(b, C=int(na['C']), fc_dim=fc_true,
+                                steps_normal=len(g.normal) // 2,
+                                steps_reduce=len(g.reduce) // 2,
+                                mult_normal=len(g.normal_concat),
+                                mult_reduce=len(g.reduce_concat),
+                                c_folded=False, fc_folded=False, sm_folded=False)
     shapes = target_param_shapes(b)
     fill_slot_shapes(b, graph.net_args['genotype'], shapes)
     n = graph.n_nodes

@@ -72,9 +72,10 @@ def base_parser(mode: str) -> argparse.ArgumentParser:
                             'architectures every step, one compiled program per '
                             'bucket (the reference workload); pool: one compiled '
                             'program per meta-batch, cycled')
-        p.add_argument('--bucket_patience', type=int, default=64,
+        p.add_argument('--bucket_patience', type=int, default=None,
                        help='flush a partially-filled bucket after this many '
-                            'streamed nets (interpreter executor)')
+                            'streamed nets (interpreter executor; default: '
+                            'adaptive to the active bucket count)')
         p.add_argument('--num_ch', type=str, default=None,
                        help='comma-separated channel-width pool override for '
                             'the wider_nets sampling (bounds interpreter '

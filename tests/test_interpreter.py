@@ -273,3 +273,69 @@ def test_custom_input_size_bucketed():
     with pytest.raises(itp.EncodeError, match='glob_avg'):
         itp.encode_arch(fgraph, num_classes=10, is_imagenet_input=False,
                         vocab=vocab, input_size=48)
+
+
+@pytest.mark.slow
+def test_width_folding_matches_exact():
+    """Nets of different true widths share ONE folded program (same ArchBucket)
+    and their folded logits equal the per-architecture executor's. Exactness
+    rests on the decoder's slice property (ConvDecoder3 computes the full
+    (max0,max1) block; reference nn.py:736-760) and cyclic tiling."""
+    buckets = set()
+    for c in (20, 24, 31):   # all pad to class 32 (max_shape 16 here)
+        args = dict(BASE, genotype=GENO_MIXED, C=c, n_cells=3)
+        ref, got, predwd = _run_pair(args)
+        np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4,
+                                   err_msg=f'C={c}')
+        net = Network(num_classes=10, is_imagenet_input=False, **args)
+        g = net.graph_def()
+        g.net_args = dict(args)
+        vocab = itp.vocab_from_genotypes([args['genotype']])
+        b, _ = itp.encode_arch(g, num_classes=10, cfg=CFG, vocab=vocab)
+        assert b.C == 32 and b.c_folded
+        buckets.add(b)
+    assert len(buckets) == 1, 'widths must fold into one program'
+
+
+@pytest.mark.slow
+def test_fc_dim_folding_matches_exact():
+    buckets = set()
+    for fc in (24, 40):      # both pad to FC_CLASSES
+        args = dict(BASE, genotype=GENO_SIMPLE, fc_layers=2, fc_dim=fc, n_cells=3)
+        ref, got, _ = _run_pair(args)
+        np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4,
+                                   err_msg=f'fc={fc}')
+        net = Network(num_classes=10, is_imagenet_input=False, **args)
+        g = net.graph_def()
+        g.net_args = dict(args)
+        vocab = itp.vocab_from_genotypes([args['genotype']])
+        b, _ = itp.encode_arch(g, num_classes=10, cfg=CFG, vocab=vocab)
+        assert b.fc_folded
+        buckets.add(b)
+    assert len(buckets) == 1, 'fc widths must fold into one program'
+
+
+@pytest.mark.slow
+def test_steps_mult_folding_shares_bucket():
+    """Genotypes with different step/concat counts fold into one program
+    (padded slots run 'none'; padded concat segments are zeroed), and the
+    folded logits equal the per-architecture executor's."""
+    g1 = Genotype(normal=[('conv_3x3', 0), ('skip_connect', 1)], normal_concat=[2],
+                  reduce=[('conv_3x3', 0), ('max_pool_3x3', 1)], reduce_concat=[2])
+    # different true step/concat counts than g1, same padded program
+    g3 = Genotype(normal=[('conv_3x3', 0), ('skip_connect', 1), ('sep_conv_3x3', 1),
+                          ('avg_pool_3x3', 2)], normal_concat=[3],
+                  reduce=[('conv_3x3', 0), ('max_pool_3x3', 1), ('skip_connect', 0),
+                          ('none', 2)], reduce_concat=[3])
+    vocab = itp.vocab_from_genotypes([g1, g3])
+    buckets = set()
+    for geno in (g1, g3):
+        args = dict(BASE, genotype=geno, n_cells=3)
+        net = Network(num_classes=10, is_imagenet_input=False, **args)
+        g = net.graph_def()
+        g.net_args = dict(args)
+        b, _ = itp.encode_arch(g, num_classes=10, cfg=CFG, vocab=vocab)
+        buckets.add(b)
+    assert len(buckets) == 1, 'step/mult variants must share one program'
+    b = buckets.pop()
+    assert b.sm_folded and b.steps_normal == 2 and b.mult_normal == 2

@@ -84,8 +84,9 @@ def test_bucket_queue_groups_and_flushes():
     rng = np.random.default_rng(3)
     q = BucketQueue(meta_batch_size=2, num_classes=10, is_imagenet_input=False,
                     patience=3, vocab=VOCAB)
-    g16 = _graph_stream(rng, 3, C=16)
-    g32 = _graph_stream(rng, 1, C=32)
+    # widths fold into one program now; distinct buckets come from n_cells
+    g16 = _graph_stream(rng, 3, n_cells=3)
+    g32 = _graph_stream(rng, 1, n_cells=4)
 
     assert q.push(g16[0]) is None
     batch = q.push(g16[1])
@@ -93,7 +94,7 @@ def test_bucket_queue_groups_and_flushes():
 
     assert q.push(g32[0]) is None                     # lone C=32 net waits
     outs = []
-    for g in _graph_stream(rng, 4, C=16):             # age the C32 queue out
+    for g in _graph_stream(rng, 4, n_cells=3):        # age the lone queue out
         out = q.push(g)
         if out is not None:
             outs.append(out)

@@ -91,7 +91,8 @@ def main():
     ap.add_argument('--nets_dir', default='./data')
     ap.add_argument('-n', '--draws', type=int, default=50000)
     ap.add_argument('-m', '--meta_batch_size', type=int, default=8)
-    ap.add_argument('--patience', type=int, default=64)
+    ap.add_argument('--patience', type=int, default=None,
+                    help='fixed flush patience (default: adaptive)')
     ap.add_argument('--num_ch', type=str, default=None)
     ap.add_argument('--fc_dims', type=str, default=None)
     ap.add_argument('--imagenet', action='store_true')
