@@ -37,7 +37,7 @@ from ..models.ghn_core import ghn_forward
 from ..predict import DecodePlan, build_plan, run_plan
 from ..utils.logging import AverageMeter, Logger, log
 from . import optim as optim_lib
-from .mesh import batch_sharding, replicated
+from .mesh import batch_sharding, num_shards, replicated
 
 
 # ---------------------------------------------------------------------------
@@ -150,6 +150,7 @@ class Trainer:
                  seed: int = 0,
                  checkpoint_backend: str = 'npz',   # 'npz' | 'orbax'
                  interp_vmap: bool = False,
+                 net_shard: bool = False,
                  verbose: bool = False):
         assert (ghn is None) != (model is None), 'pass exactly one of ghn / model'
         self.ghn = ghn
@@ -175,6 +176,10 @@ class Trainer:
         self.log_interval = log_interval
         self.mesh = mesh
         self.interp_vmap = interp_vmap
+        # net-sharded DP (the reference's scheme): shard the meta-batch of
+        # nets over the data axis, replicate images — for meta_bs >= n_devices
+        # regimes where per-device image shards would get tiny
+        self.net_shard = net_shard
         self.verbose = verbose
         self.save_dir = save_dir
         self.checkpoint_backend = checkpoint_backend
@@ -321,6 +326,9 @@ class Trainer:
         # scan matches the reference's sequential per-net loop (trainer.py:308).
         vmap_nets = self.interp_vmap
 
+        if self.net_shard and self.mesh is not None:
+            return self._interp_step_fn_net_shard(ib, net_fwd)
+
         def step(params, opt_state, node_op, adj, shape_ind, mask, levels,
                  arch, images, labels):
             def loss_fn(p):
@@ -368,6 +376,79 @@ class Trainer:
 
         return jax.jit(step, donate_argnums=(0, 1))
 
+    def _interp_step_fn_net_shard(self, ib, net_fwd):
+        """Net-sharded data parallelism (the REFERENCE's scheme): the
+        meta-batch of architectures is split over the ``data`` mesh axis — each
+        device runs B_meta/n_dev nets on the FULL image batch — instead of
+        replicating all nets and sharding images (reference train_ghn_ddp.py:92
+        divides meta_bs by world size; graph scatter graph.py:90-241). Grads of
+        the replicated params are psum-reduced by shard_map's transpose. Same
+        loss/grads as the replicated path (tests/test_shard_step.py)."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        from ..models.ghn_core import ghn_forward
+
+        cfg = self.cfg
+        optimizer = self.optimizer
+        predparam_wd = self.predparam_wd
+        mesh = self.mesh
+        n_dev = num_shards(mesh)
+        b_meta = len(ib.batch)
+        assert b_meta % n_dev == 0, \
+            f'net-sharded DP needs meta_bs ({b_meta}) divisible by devices ({n_dev})'
+
+        def local_nets(p, node_op, adj, shape_ind, mask, levels, arch,
+                       images, labels):
+            # all per-net args carry the LOCAL shard (B_meta/n_dev leading dim)
+            x = ghn_forward(p, cfg, node_op, adj, shape_ind, mask, levels=levels)
+            hard = labels if labels.ndim == 1 else labels.argmax(-1)
+
+            def per_net(carry, xs):
+                x_b, arch_b = xs
+                logits, predwd = net_fwd(p, x_b, arch_b, images)
+                accs = topk_correct(logits, hard)
+                return carry, (self._loss_from_logits(logits, labels), predwd,
+                               accs[1], accs[5])
+
+            _, (losses, predwds, t1, t5) = jax.lax.scan(
+                per_net, jnp.float32(0.0), (x, arch))
+            sums = jnp.stack([losses.sum(), predwds.sum(), t1.sum(), t5.sum()])
+            return jax.lax.psum(sums, 'data')
+
+        spec_net = P('data')
+        sharded_nets = shard_map(
+            local_nets, mesh=mesh,
+            in_specs=(P(), spec_net, spec_net, spec_net, spec_net, spec_net,
+                      spec_net, P(), P()),
+            out_specs=P(), check_rep=False)
+
+        def step(params, opt_state, node_op, adj, shape_ind, mask, levels,
+                 arch, images, labels):
+            def loss_fn(p):
+                sums = sharded_nets(p, node_op, adj, shape_ind, mask, levels,
+                                    arch, images, labels)
+                loss = sums[0] / b_meta
+                loss_predwd = predparam_wd * sums[1] if predparam_wd > 0 else 0.0
+                return loss + loss_predwd, (loss, loss_predwd,
+                                            sums[2] / b_meta, sums[3] / b_meta)
+
+            (total, (loss, loss_predwd, top1, top5)), grads = \
+                jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+            finite = jnp.isfinite(total)
+            updates, new_opt_state = optimizer.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            new_params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(finite, new, old), new_params, params)
+            new_opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(finite, new, old), new_opt_state, opt_state)
+            metrics = {'loss': loss, 'loss_predwd': loss_predwd,
+                       'top1': top1, 'top5': top5,
+                       'skipped': (~finite).astype(jnp.float32)}
+            return new_params, new_opt_state, metrics
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
     def _model_step_fn(self):
         model = self.model
         optimizer = self.optimizer
@@ -408,7 +489,7 @@ class Trainer:
                 n_cls = int(labels.max()) + 1
             images, labels = mixup(self.mixup_rng, images, labels, n_cls)
 
-        if self.mesh is not None:
+        if self.mesh is not None and not (self.net_shard and self.is_ghn):
             images = jax.device_put(images, batch_sharding(self.mesh))
             labels = jax.device_put(labels, batch_sharding(self.mesh))
 

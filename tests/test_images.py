@@ -107,3 +107,77 @@ def test_deepnets_width_pool_override(tmp_path):
     # stored macro-config knobs round-trip through the writer
     assert all(a['n_cells'] == 3 and a['fc_layers'] == 1 and a['glob_avg']
                for a in ds.nets)
+
+
+def _fixture_images(tmp_path):
+    """Deterministic PIL fixture images in an ImageFolder layout."""
+    from PIL import Image
+    rng = np.random.default_rng(42)
+    sizes = [(96, 80), (57, 91), (224, 224)]
+    d = tmp_path / 'val' / 'cls'
+    d.mkdir(parents=True)
+    paths = []
+    for i, (w, h) in enumerate(sizes):
+        yy, xx = np.mgrid[0:h, 0:w]
+        arr = np.stack([(xx * 255 / max(1, w - 1)),
+                        (yy * 255 / max(1, h - 1)),
+                        rng.integers(0, 256, size=(h, w))], axis=-1).astype(np.uint8)
+        p = d / f'{i}.png'
+        Image.fromarray(arr).save(p)
+        paths.append(p)
+    return paths
+
+
+def test_eval_transform_matches_torch_interpolate(tmp_path):
+    """Pixel parity of the eval path (resize shorter side to s/crop_pct,
+    bilinear; center crop; normalize) against an independent oracle:
+    torch.nn.functional.interpolate with antialias=True reproduces PIL's
+    antialiased bilinear resize to ~1/255 (reference transforms_imagenet,
+    ghn3/utils.py:124-142 uses torchvision's PIL-backed Resize/CenterCrop)."""
+    torch = pytest.importorskip('torch')
+    from PIL import Image
+    from ghn3_tpu.data.images import ImageFolder, IMAGENET_MEAN, IMAGENET_STD
+
+    _fixture_images(tmp_path)
+    s = 64
+    crop_pct = 0.875
+    ds = ImageFolder(str(tmp_path), split='val', imsize=s, crop_pct=crop_pct)
+    for j, (path, _y) in enumerate(ds.samples):
+        ours = ds._load(path, None)     # normalized CHW float32
+
+        img = Image.open(path).convert('RGB')
+        t = torch.from_numpy(np.asarray(img, np.float32).transpose(2, 0, 1))[None] / 255
+        w, h = img.size
+        short = max(s, int(round(s / crop_pct))) if s >= 224 else s
+        scale = short / min(w, h)
+        tw, th = round(w * scale), round(h * scale)
+        ref = torch.nn.functional.interpolate(t, size=(th, tw), mode='bilinear',
+                                              antialias=True)[0].numpy()
+        x0, y0 = (tw - s) // 2, (th - s) // 2
+        ref = ref[:, y0:y0 + s, x0:x0 + s]
+        # _load returns [0,1] pixels (normalization happens batch-level);
+        # PIL's bilinear and torch's antialiased bilinear agree to ~1-2/255
+        diff = np.abs(ours - ref)
+        assert diff.mean() < 0.01 and np.percentile(diff, 99) < 0.05, \
+            (j, diff.mean(), diff.max())
+
+
+def test_train_and_eval_transforms_pinned(tmp_path):
+    """Regression pins: fixed seeds give byte-stable transform outputs (so
+    future accuracy numbers are comparable across refactors)."""
+    from ghn3_tpu.data.images import ImageFolder
+    _fixture_images(tmp_path)
+    ds = ImageFolder(str(tmp_path), split='val', imsize=32,
+                     aug='rand-m6-mstd0.5-inc1')
+    # eval path: deterministic
+    e1 = ds._load(ds.samples[0][0], None)
+    e2 = ds._load(ds.samples[0][0], None)
+    np.testing.assert_array_equal(e1, e2)
+    # train path: deterministic given the rng seed (incl. RandAugment)
+    t1 = ds._load(ds.samples[1][0], np.random.default_rng(7))
+    t2 = ds._load(ds.samples[1][0], np.random.default_rng(7))
+    np.testing.assert_array_equal(t1, t2)
+    assert t1.shape == (3, 32, 32) and np.isfinite(t1).all()
+    # distinct seeds actually augment
+    t3 = ds._load(ds.samples[1][0], np.random.default_rng(8))
+    assert np.abs(t1 - t3).max() > 1e-3

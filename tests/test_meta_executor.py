@@ -101,3 +101,47 @@ def test_bucket_queue_groups_and_flushes():
     flushed = [o for o in outs if o[0] is g32[0]]
     assert flushed, 'stale bucket was never flushed'
     assert len(flushed[0]) == 2 and flushed[0][1] is g32[0]   # cycled to fill
+
+
+def test_net_sharded_dp_matches_replicated():
+    """Net-sharded DP (meta-batch split over the data axis, images replicated
+    — the reference's scheme, train_ghn_ddp.py:92) produces the same loss and
+    updated parameters as the replicated-nets/sharded-images path. Node-count
+    balancing is moot here: every net in a bucket-homogeneous batch runs the
+    same padded dense program, so per-device work is identical by construction.
+    """
+    import pytest
+    from ghn3_tpu.parallel.mesh import data_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip('needs the 8-device CPU mesh')
+    rng = np.random.default_rng(21)
+    graphs = _graph_stream(rng, 8, n_cells=2)
+    mesh = data_mesh(8)
+
+    img_rng = np.random.default_rng(5)
+    images = img_rng.normal(size=(8, 3, 32, 32)).astype(np.float32)
+    labels = img_rng.integers(0, 10, size=(8,))
+    pad_to = int(np.ceil(max(g.n_nodes for g in graphs) / 16) * 16)
+    ib = build_interp_batch(CFG, graphs, num_classes=10,
+                            is_imagenet_input=False, vocab=VOCAB, pad_to=pad_to)
+
+    results = {}
+    for net_shard in (False, True):
+        params = init_ghn_params(jax.random.PRNGKey(0), CFG)
+        # sgd: updated params differ exactly by lr*grad, so this compares
+        # GRADIENTS across the two schemes (adam's first-step m/sqrt(v) = +-1
+        # turns float-noise grads on dead elements into +-lr flips)
+        trainer = Trainer(ghn=_Hyper(CFG, params), opt='sgd',
+                          opt_args={'lr': 1e-2, 'weight_decay': 0.0},
+                          n_batches=1, predparam_wd=3e-5, mesh=mesh,
+                          net_shard=net_shard)
+        m = trainer.update(images, labels, meta_batch=ib)
+        results[net_shard] = (m['loss'].avg, trainer._params())
+
+    loss_rep, p_rep = results[False]
+    loss_sh, p_sh = results[True]
+    assert abs(loss_rep - loss_sh) < 1e-5, (loss_rep, loss_sh)
+    for k in p_rep:
+        np.testing.assert_allclose(np.asarray(p_sh[k]), np.asarray(p_rep[k]),
+                                   atol=1e-6, rtol=1e-5, err_msg=k)

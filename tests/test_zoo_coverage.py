@@ -43,14 +43,14 @@ ARCHS = ['mobilenet_v2', 'squeezenet1_1', 'densenet121', 'efficientnet_b0ish',
 def _small(name):
     kwargs = {'num_classes': 10}
     if name == 'vit_b_16':
-        kwargs.update(dim=32, depth=2, heads=2, patch=8)
+        kwargs.update(dim=32, depth=2, heads=2, patch=8, img_size=32)
     if name == 'inception_v3ish':
         kwargs.update(c=8)
     if name in NEW_KWARGS:
         kwargs.update(NEW_KWARGS[name])
     m = TORCH_ZOO[name](**kwargs)
     if name == 'vit_b_16':
-        m.expected_input_sz = 32
+        pass                                 # img_size=32 set the right input
     elif not name.startswith('inception'):   # inception keeps its 299px default
         m.expected_input_sz = 64
     m.train()   # aux-head families trace their training-mode graphs
@@ -65,6 +65,11 @@ def test_all_params_predictable(name):
                       sanity_check=True)
     stats = plan_stats(plan)
     total = sum(p.numel() for p in m.parameters())
+    if name == 'vit_b_16':
+        # the bare class_token is traced-but-never-predicted, matching the
+        # reference (its node is filtered, graph.py:658-683; named_layered_modules
+        # never lists it) — it keeps torchvision's zeros init
+        total -= m.class_token.numel()
     assert stats['n_params_pred'] == total, (name, stats, total)
 
 
