@@ -206,6 +206,45 @@ def meta_train_detail():
         sys.argv = argv
 
 
+def imagenet_scale_detail():
+    """Meta-training at the PAPER recipe scale (reference train_ghn_ddp.py:16-22):
+    ImageNet geometry (224 px, 1000 classes, ImageNet stems) with an XL-class
+    GHN (hid 256, 16 heads), meta-batch 8 x image batch 128 (synthetic images —
+    the measurement is step time / fit, not accuracy)."""
+    import tools.bench_train as bt
+    argv = sys.argv
+    sys.argv = ['bench_train.py', '--steps', '10', '--warmup', '3',
+                '--meta-bs', '8', '--batch', '128', '--hid', '256',
+                '--layers', '3', '--heads', '16', '--imsize', '224',
+                '--num-classes', '1000', '--stem-type', '1', '--n-cells', '4',
+                '--widths', '32', '--bf16']
+    try:
+        import io
+        import contextlib
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            res = bt.main()
+        return res
+    finally:
+        sys.argv = argv
+
+
+def learning_proof_detail():
+    """Meta-learning evidence measured during the round (tools/learning_proof.py):
+    a GHN meta-trained on digits over a generated DeepNets-1M split, evaluated
+    on HELD-OUT architectures vs random init (RESULTS.md)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        'results', 'learning_proof.json')
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        s = json.load(f)
+    return {k: s[k] for k in ('dataset', 'split', 'n_archs',
+                              'mean_top1_predicted', 'mean_top1_untrained_ghn',
+                              'mean_top1_randinit', 'archs_beating_randinit')
+            if k in s}
+
+
 def main():
     import jax
     from ghn3_tpu.utils.cache import enable_persistent_cache
@@ -224,6 +263,16 @@ def main():
             detail['meta_train'] = meta_train_detail()
         except Exception as e:   # never lose the headline metric
             detail['meta_train'] = {'error': repr(e)}
+        try:
+            detail['imagenet_scale'] = imagenet_scale_detail()
+        except Exception as e:
+            detail['imagenet_scale'] = {'error': repr(e)}
+    try:
+        lp = learning_proof_detail()
+        if lp is not None:
+            detail['learning_proof'] = lp
+    except Exception as e:
+        detail['learning_proof'] = {'error': repr(e)}
 
     models_per_sec = pred['models_per_sec']
     result = {

@@ -32,7 +32,32 @@ def load_state_dict_file(path: str) -> Tuple[Optional[dict], Dict[str, np.ndarra
         if '__config__' in data:
             meta = data['__config__'].item()
             cfg = meta.get('config', meta) if isinstance(meta, dict) else meta
-        sd = {k: data[k] for k in data.files if k != '__config__'}
+        elif '__meta__' in data:
+            # Trainer checkpoint (parallel/trainer._write_checkpoint): params +
+            # optimizer leaves + meta. Map the saved CLI-config vocabulary to
+            # GHNConfig fields (reference from_pretrained reads the config
+            # stored inside checkpoints the same way, nn.py:53-54).
+            meta = data['__meta__'].item()
+            cli = meta.get('config', {}) if isinstance(meta, dict) else {}
+            cfg = {}
+            for src, dst in (('hid', 'hid'), ('heads', 'heads'),
+                             ('layers', 'layers'), ('ln', 'layernorm'),
+                             ('weight_norm', 'weight_norm'),
+                             ('num_classes', 'num_classes'),
+                             ('ghn2', 'is_ghn2')):
+                if src in cli and cli[src] is not None:
+                    cfg[dst] = cli[src]
+            if cli.get('virtual_edges'):
+                cfg['ve'] = cli['virtual_edges'] > 1
+                cfg['ve_cutoff'] = max(1, cli['virtual_edges'])
+            ms = cli.get('max_shape') or (cli.get('hid', 64) * 2
+                                          if cli.get('ghn2') else 64)
+            s = 16 if cli.get('dataset') == 'imagenet' else 11
+            cfg['max_shape'] = (ms, ms, s, s)
+            cfg = cfg or None
+        sd = {k: data[k] for k in data.files
+              if k not in ('__config__', '__meta__')
+              and not k.startswith('__opt__')}
         return cfg, sd
 
     state = None

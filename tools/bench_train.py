@@ -32,6 +32,10 @@ def main():
     ap.add_argument('--imsize', type=int, default=32)
     ap.add_argument('--n-cells', type=int, default=4)
     ap.add_argument('--widths', type=int, nargs='+', default=[32])
+    ap.add_argument('--num-classes', type=int, default=10)
+    ap.add_argument('--heads', type=int, default=None)
+    ap.add_argument('--stem-type', type=int, default=0,
+                    help='1 = ImageNet stem (the paper recipe at 224px)')
     ap.add_argument('--vmap-nets', action='store_true',
                     help='vmap over the meta-batch instead of scanning: every '
                          'switch branch is computed + selected. Measured: OOMs '
@@ -68,8 +72,11 @@ def main():
     vocab = itp.vocab_from_genotypes([Genotype(normal=[(o, 0) for o in ops],
                                                normal_concat=[2], reduce=[],
                                                reduce_concat=[])])
-    cfg = GHNConfig(hid=args.hid, heads=8 if args.hid % 8 == 0 else 4,
-                    layers=args.layers, max_shape=(64, 64, 11, 11), num_classes=10,
+    s_sp = 16 if args.imsize > 64 else 11
+    cfg = GHNConfig(hid=args.hid,
+                    heads=args.heads or (8 if args.hid % 8 == 0 else 4),
+                    layers=args.layers, max_shape=(64, 64, s_sp, s_sp),
+                    num_classes=args.num_classes,
                     dtype='bfloat16' if args.bf16 else 'float32')
 
     rng = np.random.default_rng(0)
@@ -84,14 +91,15 @@ def main():
         c = int(rng.choice(args.widths))
         net_args = dict(genotype=geno, C=c, n_cells=args.n_cells, ks=3,
                         preproc=True, C_mult=2, fc_layers=1, fc_dim=0,
-                        stem_type=0, stem_pool=False, norm='bn', glob_avg=True,
-                        imagenet_stride=4)
+                        stem_type=args.stem_type, stem_pool=False, norm='bn',
+                        glob_avg=True, imagenet_stride=4)
         try:
-            net = Network(num_classes=10, is_imagenet_input=args.imsize > 64,
-                          **net_args)
+            net = Network(num_classes=args.num_classes,
+                          is_imagenet_input=args.imsize > 64, **net_args)
             g = net.graph_def()
             g.net_args = dict(net_args)
-            itp.encode_arch(g, num_classes=10, is_imagenet_input=args.imsize > 64,
+            itp.encode_arch(g, num_classes=args.num_classes,
+                            is_imagenet_input=args.imsize > 64,
                             vocab=vocab, input_size=args.imsize)
         except Exception:
             continue
@@ -112,7 +120,7 @@ def main():
     img_rng = np.random.default_rng(1)
     images = img_rng.normal(size=(args.batch, 3, args.imsize, args.imsize)) \
         .astype(np.float32)
-    labels = img_rng.integers(0, 10, size=(args.batch,))
+    labels = img_rng.integers(0, args.num_classes, size=(args.batch,))
 
     # one fixed pad per width keeps the program count = #widths
     pads = {c: int(np.ceil(max(g.n_nodes for g in gs) / 16) * 16)
@@ -128,7 +136,8 @@ def main():
         if len(group) < args.meta_bs:
             break
         cursors[c] = i + args.meta_bs
-        batches.append(build_interp_batch(cfg, group, num_classes=10,
+        batches.append(build_interp_batch(cfg, group,
+                                          num_classes=args.num_classes,
                                           is_imagenet_input=args.imsize > 64,
                                           vocab=vocab, pad_to=pads[c],
                                           input_size=args.imsize))
