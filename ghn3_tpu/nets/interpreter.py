@@ -332,12 +332,18 @@ class _Fetcher:
     trainer.py:298-346); decode itself and norm statistics stay f32.
     """
 
-    def __init__(self, params, cfg: GHNConfig, x_flat, weight_norm: bool):
+    def __init__(self, params, cfg: GHNConfig, x_flat, weight_norm: bool,
+                 z_fc=None, z_1d=None):
         self.params = params
         self.cfg = cfg
         self.x_flat = x_flat
         self.weight_norm = weight_norm
         self.compute_dtype = jnp.dtype(cfg.dtype)
+        if z_fc is not None:
+            # precomputed hoists (the grouped executor vmaps them over the
+            # meta-batch once and builds per-net fetchers from the slices)
+            self.z_fc, self.z_1d = z_fc, z_1d
+            return
         # shared decode stages hoisted over ALL nodes: one MXU-sized matmul each
         # instead of a per-slot matvec inside every branch (same numerics —
         # rows of a batched matmul)

@@ -150,6 +150,7 @@ class Trainer:
                  seed: int = 0,
                  checkpoint_backend: str = 'npz',   # 'npz' | 'orbax'
                  interp_vmap: bool = False,
+                 interp_exec: str = 'auto',     # 'auto'|'grouped'|'scan'|'vmap'
                  net_shard: bool = False,
                  verbose: bool = False):
         assert (ghn is None) != (model is None), 'pass exactly one of ghn / model'
@@ -176,6 +177,7 @@ class Trainer:
         self.log_interval = log_interval
         self.mesh = mesh
         self.interp_vmap = interp_vmap
+        self.interp_exec = 'vmap' if interp_vmap else interp_exec
         # net-sharded DP (the reference's scheme): shard the meta-batch of
         # nets over the data axis, replicate images — for meta_bs >= n_devices
         # regimes where per-device image shards would get tiny
@@ -321,10 +323,22 @@ class Trainer:
         def net_fwd(p, x_b, arch_b, images):
             return interpret_forward(p, cfg, bucket, x_b, arch_b, images)
 
-        # vmap executes every lax.switch branch and selects (x|vocab| FLOPs but
-        # one big batched op per slot instead of B_meta small sequential ones);
-        # scan matches the reference's sequential per-net loop (trainer.py:308).
-        vmap_nets = self.interp_vmap
+        # Executor choice ('auto' picks the fastest exact path):
+        # * grouped — the meta-batch rides the CHANNEL axis; one grouped conv
+        #   per op family per slot, no lax.switch, no per-net scan
+        #   (nets/grouped.py; the MoE-style slot execution)
+        # * scan — sequential per-net loop matching the reference
+        #   (trainer.py:308); the fallback for msa/ViT buckets
+        # * vmap — executes every switch branch and selects; measured OOM at
+        #   recipe scale, kept for small-scale experiments
+        from ..nets.grouped import grouped_forward, grouped_supported
+        vmap_nets = self.interp_exec == 'vmap'
+        use_grouped = (self.interp_exec in ('auto', 'grouped')
+                       and grouped_supported(bucket)
+                       and not (self.net_shard and self.mesh is not None))
+        if self.interp_exec == 'grouped' and not grouped_supported(bucket):
+            raise ValueError('bucket not supported by the grouped executor '
+                             '(msa/ViT vocabularies need interp_exec=scan)')
 
         if self.net_shard and self.mesh is not None:
             return self._interp_step_fn_net_shard(ib, net_fwd)
@@ -335,7 +349,13 @@ class Trainer:
                 x = ghn_forward(p, cfg, node_op, adj, shape_ind, mask,
                                 levels=levels)   # (B, N, hid)
 
-                if vmap_nets:
+                if use_grouped:
+                    # per-cell remat inside; no outer checkpoint needed
+                    logits_all, predwds = grouped_forward(
+                        p, cfg, bucket, x, arch, images)
+                    losses = jax.vmap(
+                        lambda lg: self._loss_from_logits(lg, labels))(logits_all)
+                elif vmap_nets:
                     logits_all, predwds = jax.vmap(
                         lambda x_b, arch_b: net_fwd(p, x_b, arch_b, images))(x, arch)
                     losses = jax.vmap(

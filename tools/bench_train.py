@@ -36,6 +36,12 @@ def main():
     ap.add_argument('--heads', type=int, default=None)
     ap.add_argument('--stem-type', type=int, default=0,
                     help='1 = ImageNet stem (the paper recipe at 224px)')
+    ap.add_argument('--exec', default='auto',
+                    choices=['auto', 'grouped', 'scan', 'vmap'],
+                    help='interpreter executor: grouped = meta-batch on the '
+                         'channel axis, no lax.switch (nets/grouped.py); '
+                         'scan = per-net sequential loop; auto picks grouped '
+                         'when the bucket supports it')
     ap.add_argument('--vmap-nets', action='store_true',
                     help='vmap over the meta-batch instead of scanning: every '
                          'switch branch is computed + selected. Measured: OOMs '
@@ -115,7 +121,7 @@ def main():
                       opt_args={'lr': 4e-4, 'weight_decay': 1e-2},
                       n_batches=args.steps, predparam_wd=3e-5,
                       label_smoothing=0.1, log_interval=10 ** 9,
-                      interp_vmap=args.vmap_nets)
+                      interp_vmap=args.vmap_nets, interp_exec=args.exec)
 
     img_rng = np.random.default_rng(1)
     images = img_rng.normal(size=(args.batch, 3, args.imsize, args.imsize)) \
