@@ -76,6 +76,25 @@ def grouped_supported(bucket: ArchBucket) -> bool:
     return all(base in _GROUPABLE for base, _k in bucket.vocab)
 
 
+def grouped_preferred(bucket: ArchBucket) -> bool:
+    """True when grouped execution is a measured WIN over the scan path.
+
+    Every parameterized family in the vocab executes once per slot for ALL
+    nets (masked sum), so the redundancy factor is roughly
+    sum(family costs) / mean(selected-op cost).  Measured on a real v5e
+    (PARITY.md "Grouped slot execution"): with 3 parameterized families
+    (conv + sep_conv + dil_conv, the bench vocab) that redundancy costs more
+    than the lax.switch dispatch + state-bank movement it removes — 0.61
+    vs 0.58 s/step at meta-bs 8, 1.20 vs scan at meta-bs 16.  Grouped is a
+    strict win only when there is at most ONE parameterized family at a
+    uniform kernel size: zero redundant FLOPs, and the switch disappears.
+    """
+    if not grouped_supported(bucket):
+        return False
+    fams = _families(bucket.vocab)
+    return len(fams) <= 1 and all(len(set(f.ks)) == 1 for f in fams)
+
+
 @dataclasses.dataclass(frozen=True)
 class _Family:
     base: str                 # 'conv' | 'conv2' | 'sep_conv' | 'dil_conv' | 'cse'

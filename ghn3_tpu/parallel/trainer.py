@@ -326,15 +326,22 @@ class Trainer:
         # Executor choice ('auto' picks the fastest exact path):
         # * grouped — the meta-batch rides the CHANNEL axis; one grouped conv
         #   per op family per slot, no lax.switch, no per-net scan
-        #   (nets/grouped.py; the MoE-style slot execution)
+        #   (nets/grouped.py; the MoE-style slot execution).  Every family
+        #   runs for all nets (masked sum), so auto only picks it when the
+        #   redundancy is zero: <=1 parameterized family at uniform kernel
+        #   (grouped_preferred; measured slower otherwise on a real v5e —
+        #   PARITY.md "Grouped slot execution")
         # * scan — sequential per-net loop matching the reference
-        #   (trainer.py:308); the fallback for msa/ViT buckets
+        #   (trainer.py:308); the default and the fallback for msa/ViT buckets
         # * vmap — executes every switch branch and selects; measured OOM at
         #   recipe scale, kept for small-scale experiments
-        from ..nets.grouped import grouped_forward, grouped_supported
+        from ..nets.grouped import (grouped_forward, grouped_preferred,
+                                    grouped_supported)
         vmap_nets = self.interp_exec == 'vmap'
-        use_grouped = (self.interp_exec in ('auto', 'grouped')
-                       and grouped_supported(bucket)
+        want_grouped = (grouped_preferred(bucket)
+                        if self.interp_exec == 'auto'
+                        else self.interp_exec == 'grouped')
+        use_grouped = (want_grouped and grouped_supported(bucket)
                        and not (self.net_shard and self.mesh is not None))
         if self.interp_exec == 'grouped' and not grouped_supported(bucket):
             raise ValueError('bucket not supported by the grouped executor '

@@ -150,3 +150,22 @@ def test_trainer_grouped_step_matches_scan():
         lambda a, b: float(jnp.max(jnp.abs(a - b))),
         new_params['grouped'], new_params['scan'])
     assert max(jax.tree_util.tree_leaves(diffs)) < 5e-5
+
+
+def test_auto_policy_prefers_scan_on_multifamily_vocab():
+    # bench vocab: conv+sep_conv+dil_conv = 3 parameterized families ->
+    # masked-sum redundancy beats dispatch savings (measured, PARITY.md) ->
+    # auto must stay on the scan path
+    _cfg, _params, ib = _build('mixed_folded')
+    assert grp.grouped_supported(ib.bucket)
+    assert not grp.grouped_preferred(ib.bucket)
+
+    # single family at uniform kernel: zero redundant FLOPs -> grouped wins
+    single = Genotype(normal=[('conv_3x3', 0), ('max_pool_3x3', 1)],
+                      normal_concat=[2],
+                      reduce=[('conv_3x3', 0), ('skip_connect', 1)],
+                      reduce_concat=[2])
+    import dataclasses
+    vocab = itp.vocab_from_genotypes([single])
+    bucket = dataclasses.replace(ib.bucket, vocab=vocab)
+    assert grp.grouped_preferred(bucket)
