@@ -69,10 +69,9 @@ def warm_graph_cache(names, ve_cutoff):
     """Parallel host graph compilation: tracing is single-threaded python/torch
     per model (~1-20 s each), so fan the first-run sweep out over processes.
     Subsequent runs hit the disk cache and skip this entirely."""
-    from ghn3_tpu.graph.cache import CACHE_VERSION, _default_dir
+    from ghn3_tpu.graph.cache import cache_path
     pending = [n for n in names
-               if not os.path.exists(os.path.join(
-                   _default_dir(), f'{n}_ve{ve_cutoff}_v{CACHE_VERSION}.pkl'))]
+               if not os.path.exists(cache_path(n, ve_cutoff))]
     if len(pending) <= 2:
         return
     try:

@@ -8,6 +8,8 @@ cache_version), so repeat runs skip tracing entirely.
 
 from __future__ import annotations
 
+import functools
+import hashlib
 import os
 import pickle
 from typing import Callable, Optional
@@ -19,6 +21,30 @@ from .graphdef import GraphDef
 CACHE_VERSION = 2
 
 
+@functools.lru_cache(maxsize=1)
+def _code_fingerprint() -> str:
+    """Digest of the sources that determine a traced graph's content.
+
+    Keying only on (name, ve_cutoff, CACHE_VERSION) once served STALE graphs
+    after the round-3 ViT structural change (old `stem0.weight` node names vs
+    the new torchvision-true `conv_proj.weight` tables -> zero plan matches
+    and an empty-concat crash in the bench sweep). Hashing the zoo + trace
+    sources auto-invalidates the cache whenever graph-affecting code changes.
+    """
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.sha256()
+    for rel in ('graph/torch_trace.py', 'graph/graphdef.py',
+                'zoo/torch_zoo.py', 'zoo/jax_zoo.py', 'zoo/configs.py',
+                'nets/darts.py', 'nets/darts_graph.py'):
+        p = os.path.join(pkg, rel)
+        try:
+            with open(p, 'rb') as f:
+                h.update(f.read())
+        except OSError:
+            h.update(rel.encode())
+    return h.hexdigest()[:12]
+
+
 def _default_dir() -> str:
     return os.environ.get(
         'GHN3_GRAPH_CACHE',
@@ -26,12 +52,20 @@ def _default_dir() -> str:
             os.path.abspath(__file__)))), '.graph_cache'))
 
 
+def cache_path(name: str, ve_cutoff: int = 50,
+               cache_dir: Optional[str] = None) -> str:
+    """Cache file path for ``name`` (key: name, ve_cutoff, version, code)."""
+    return os.path.join(
+        cache_dir or _default_dir(),
+        f'{name}_ve{ve_cutoff}_v{CACHE_VERSION}_{_code_fingerprint()}.pkl')
+
+
 def cached_graph(name: str, build: Callable[[], GraphDef], ve_cutoff: int = 50,
                  cache_dir: Optional[str] = None) -> GraphDef:
     """Load the graph for ``name`` from the cache, or build + store it.
     The attached ``net`` is never cached (callers re-attach their target)."""
     cache_dir = cache_dir or _default_dir()
-    path = os.path.join(cache_dir, f'{name}_ve{ve_cutoff}_v{CACHE_VERSION}.pkl')
+    path = cache_path(name, ve_cutoff, cache_dir)
     if os.path.exists(path):
         try:
             with open(path, 'rb') as f:

@@ -499,6 +499,12 @@ def predict_packed(params, cfg: GHNConfig, batch: GraphBatch,
         if is_cls and not predict_class_layers:
             continue
         active.append((key, items))
+    if not active:
+        raise ValueError(
+            'decode plan matched ZERO target parameters '
+            f'({plan.n_unmatched} graph nodes unmatched) — graph param names '
+            'and the target table disagree (stale graph cache? mismatched '
+            'zoo twin?)')
     packed, signature = _run_packed(params, cfg, x_flat, active, weight_norm)
     specs: List[Dict[str, Tuple[int, Tuple[int, ...]]]] = [dict() for _ in range(len(batch))]
     for gi, item_idx, pair_it, sz, offset in _iter_slots(signature):

@@ -57,6 +57,10 @@ BASE = dict(n_cells=3, ks=3, preproc=True, C_mult=2, fc_layers=1, fc_dim=0,
 
 # (net_args overrides, per-net widths, is_ghn2, genotypes or None for default)
 CASES = {
+    # 2 nets, 2 cells, heterogeneous folded widths — the <2 min quick-gate
+    # equality case; full-fidelity variants below are `slow`
+    'quick_tiny': (dict(n_cells=2), [16, 24], False,
+                   (GENO_M1_A, GENO_M1_C)),
     'mixed_folded': (dict(), [16, 24, 32], False, None),
     'imagenet_stem': (dict(stem_type=1, C_mult=1), [16, 16, 24], False, None),
     'stem_pool_fc2': (dict(stem_pool=True, fc_layers=2, fc_dim=24), [16, 24, 24], False, None),
@@ -65,7 +69,7 @@ CASES = {
                   (GENO_M1_A, GENO_M1_B, GENO_M1_C)),
     'ghn2_corner': (dict(), [16, 24, 32], True, None),
 }
-QUICK = ('mixed_folded',)
+QUICK = ('quick_tiny',)
 
 
 def _build(case):

@@ -138,3 +138,29 @@ def test_tile_params_flat_equals_tile_params():
             flat = np.asarray(tile_params_flat(jnp.asarray(w), t, corner=corner))
             np.testing.assert_array_equal(flat.reshape(-1), np.asarray(ref).reshape(-1),
                                           err_msg=f'{s}->{t} corner={corner}')
+
+
+def test_graph_cache_invalidates_on_code_change(tmp_path, monkeypatch):
+    """Stale-cache regression (round 3): cached ViT graphs from before a zoo
+    structure change served old param names -> zero decode-plan matches. The
+    cache key must include a fingerprint of the graph-producing sources."""
+    from ghn3_tpu.graph import cache as gc
+
+    import types
+    calls = []
+
+    def build():
+        calls.append(1)
+        return types.SimpleNamespace(net=None)   # pickleable GraphDef stand-in
+
+    d = str(tmp_path)
+    gc.cached_graph('m', build, cache_dir=d)
+    gc.cached_graph('m', build, cache_dir=d)
+    assert len(calls) == 1                      # second call hits the cache
+
+    p1 = gc.cache_path('m', cache_dir=d)
+    monkeypatch.setattr(gc, '_code_fingerprint', lambda: 'deadbeef0000')
+    p2 = gc.cache_path('m', cache_dir=d)
+    assert p1 != p2                             # code change -> new key
+    gc.cached_graph('m', build, cache_dir=d)
+    assert len(calls) == 2                      # rebuilt, not served stale
