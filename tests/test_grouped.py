@@ -127,7 +127,10 @@ class _Hyper:
 
 @pytest.mark.slow
 def test_trainer_grouped_step_matches_scan():
-    cfg, params, ib = _build('mixed_folded')
+    # quick_tiny keeps the two jitted train-step compiles (scan + grouped,
+    # with grads) tractable on CPU; op-family coverage lives in the
+    # forward-equality cases above
+    cfg, params, ib = _build('quick_tiny')
     rng = np.random.default_rng(1)
     images = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
     labels = rng.integers(0, 10, size=(2,))
