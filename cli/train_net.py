@@ -26,14 +26,27 @@ def build_model(args):
     if args.arch == 'convnet':
         from ghn3_tpu.nets.simple import ConvNet
         return ConvNet(channels=(32, 64, 128), num_classes=args.num_classes,
-                       input_sz=args.imsize)
+                       input_sz=args.imsize), None
+    if str(args.arch).isdigit():
+        # numeric arch = index into a DeepNets-1M split (the reference's
+        # ppuda train_net surface: --arch <idx> --split val/test/...)
+        from ghn3_tpu.data.deepnets1m import DeepNets1M
+        from ghn3_tpu.nets.darts import Network
+        ds = DeepNets1M(split=args.split, nets_dir=args.nets_dir,
+                        num_nets=int(args.arch) + 1, attach_net=False)
+        g = ds[int(args.arch)]
+        net = Network(num_classes=args.num_classes,
+                      is_imagenet_input=args.imsize > 64, **g.net_args)
+        log(f'DeepNets-1M {args.split}[{args.arch}]: {g.n_nodes} nodes, '
+            f'{sum(int(np.prod(r.sz)) for c in net.param_table() for r in c.values())} params')
+        return net, g
     from ghn3_tpu.zoo.jax_zoo import JAX_ZOO
     if args.arch in JAX_ZOO:
-        return JAX_ZOO[args.arch](num_classes=args.num_classes)
+        return JAX_ZOO[args.arch](num_classes=args.num_classes), None
     raise NotImplementedError(args.arch)
 
 
-def init_params(args, model, beta=1e-5):
+def init_params(args, model, graph=None, beta=1e-5):
     from ghn3_tpu.evaluate import he_init_params
     params = he_init_params(model, seed=args.seed)
 
@@ -44,7 +57,9 @@ def init_params(args, model, beta=1e-5):
         from ghn3_tpu.zoo.torch_zoo import TORCH_ZOO
         from ghn3_tpu.graph.torch_trace import trace_torch_model
         ghn = GHN3.from_pretrained(args.ckpt)
-        if args.arch == 'convnet':
+        if graph is not None:
+            pass                       # DeepNets split graph, already decoded
+        elif args.arch == 'convnet':
             graph = model.graph_def(ve_cutoff=ghn.config.ve_cutoff)
         else:
             tm = TORCH_ZOO[args.arch](num_classes=args.num_classes)
@@ -67,8 +82,8 @@ def init_params(args, model, beta=1e-5):
 def main():
     maybe_init_distributed()
     args = init_config('train_net')
-    model = build_model(args)
-    params = init_params(args, model)
+    model, graph = build_model(args)
+    params = init_params(args, model, graph=graph)
 
     data = image_loader(args.dataset, args.data_dir, imsize=args.imsize,
                         aug=args.aug, crop_pct=args.crop_pct,

@@ -1121,6 +1121,13 @@ def bucket_of(net_args: dict, num_classes: int, is_imagenet_input: bool,
     sn_p, sr_p, mn_p, mr_p = sn, sr, mn, mr
     c_folded = fc_folded = sm_folded = False
     if fold_widths and not is_vit:
+        # any net that uses msa is ViT-classified (above), so non-ViT folded
+        # programs can PRUNE msa from their op vocabulary: the folded branch
+        # builders do not implement msa (attention head reshapes are
+        # width-static) and no op id can reference it.  Keeps mixed
+        # CNN+ViT dataset streams foldable (the fixture/DeepNets vocab
+        # carries msa for its ViT nets).
+        vocab = tuple(e for e in vocab if e[0] != 'msa')
         # folding is UNIFORM: a net already at its pad class still runs the
         # folded program (masks are no-ops), so boundary nets don't split keys
         c_prog = pad_class(c_true, WIDTH_CLASSES)
@@ -1180,6 +1187,7 @@ def encode_arch(graph: GraphDef, num_classes: int = 10,
     net_args = graph.net_args
     assert net_args is not None and 'genotype' in net_args, 'genotype net_args required'
     b = bucket_of(net_args, num_classes, is_imagenet_input, vocab, input_size)
+    vocab = b.vocab   # folded non-ViT buckets prune msa; ids must match
     if not b.glob_avg and b.image_size not in (224, 32):
         # flatten-head feature size is pinned by the fixed table shared with the
         # reference Network (ops.py:497-500); nonstandard input sizes mismatch it
