@@ -5,7 +5,29 @@ compiled executables on disk makes repeated benchmark/eval runs start hot."""
 
 from __future__ import annotations
 
+import functools
+import hashlib
 import os
+
+
+@functools.lru_cache(maxsize=1)
+def _host_fingerprint() -> str:
+    """Short digest of the host CPU's feature flags.
+
+    XLA:CPU persists AOT executables specialized to the compiling machine's
+    ISA; loading an artifact cached by a DIFFERENT host (the driver machines
+    rotate) warns about mismatched machine features and can SIGILL/segfault
+    (observed killing the round-3 test suite mid-run). Scoping the cache dir
+    per host CPU keeps artifacts where they are safe to load."""
+    try:
+        with open('/proc/cpuinfo') as f:
+            for line in f:
+                if line.startswith('flags'):
+                    return hashlib.sha256(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+    return hashlib.sha256(platform.processor().encode()).hexdigest()[:10]
 
 
 def enable_persistent_cache(path: str = None) -> None:
@@ -13,7 +35,7 @@ def enable_persistent_cache(path: str = None) -> None:
     path = path or os.environ.get('GHN3_JAX_CACHE',
                                   os.path.join(os.path.dirname(os.path.dirname(
                                       os.path.dirname(os.path.abspath(__file__)))),
-                                      '.jax_cache'))
+                                      f'.jax_cache_{_host_fingerprint()}'))
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update('jax_compilation_cache_dir', path)
