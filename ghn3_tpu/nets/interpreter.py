@@ -47,6 +47,23 @@ from ..ops.assembly import decode_key, normalize_params, tile_params
 
 MAX_SLOT_NODES = 9   # msa is the widest op: ln1, qkv, out.w, out.b, ln2, ff0.w/b, ff3.w/b
 
+
+def _scan_unroll() -> bool:
+    """Whether the per-cell step scans unroll fully.
+
+    On TPU, steps is static and tiny (<=4) and unrolling makes the bank-update
+    index a constant per iteration, so XLA SSAs away the whole-bank copies the
+    rolled scan would materialize (0.53 -> 0.37 s/step measured). On CPU the
+    same unroll only bloats the LLVM functions XLA:CPU has to chew through —
+    multi-minute compiles, and observed compiler segfaults on single-core
+    hosts — with no runtime win, so the rolled scan is used there.
+    Override with GHN3_INTERP_UNROLL=0/1."""
+    import os
+    env = os.environ.get('GHN3_INTERP_UNROLL')
+    if env is not None:
+        return env not in ('0', 'false', 'False')
+    return jax.default_backend() != 'cpu'
+
 # Op vocabulary: (base, kernel) pairs the branch tables carry. Restrictable per
 # dataset (a smaller vocabulary compiles faster); ids are positions in the tuple.
 DEFAULT_VOCAB: Tuple[Tuple[str, int], ...] = (
@@ -969,12 +986,9 @@ def _run_cell(fe: _Fetcher, bucket: ArchBucket, geom: CellGeom, arch, s0, s1,
             return (lo, acc + fa + fb), None
 
         idx = jnp.arange(geom.steps, dtype=jnp.int32)
-        # full unroll: steps is static and tiny (<=4); the bank-update index
-        # becomes a constant per iteration so XLA SSAs away the whole-bank
-        # copies the rolled scan would materialize each step
         (lo, f), _ = jax.lax.scan(body, (lo0, jnp.float32(0.0)),
                                   (slot_op, slot_src, slot_nodes, idx),
-                                  unroll=True)
+                                  unroll=_scan_unroll())
         predwd = predwd + f
         cat = jnp.take(lo, jnp.clip(arch['concat'][ci, :geom.mult] - 2, 0,
                                     geom.steps - 1), axis=0)
@@ -998,7 +1012,7 @@ def _run_cell(fe: _Fetcher, bucket: ArchBucket, geom: CellGeom, arch, s0, s1,
         idx = jnp.arange(geom.steps, dtype=jnp.int32)
         (bank, f), _ = jax.lax.scan(body, (bank0, jnp.float32(0.0)),
                                     (slot_op, slot_src, slot_nodes, idx),
-                                    unroll=True)
+                                    unroll=_scan_unroll())
         predwd = predwd + f
         cat = jnp.take(bank, jnp.clip(arch['concat'][ci, :geom.mult], 0,
                                       geom.steps + 1), axis=0)

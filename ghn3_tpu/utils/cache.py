@@ -32,10 +32,17 @@ def _host_fingerprint() -> str:
 
 def enable_persistent_cache(path: str = None) -> None:
     import jax
-    path = path or os.environ.get('GHN3_JAX_CACHE',
-                                  os.path.join(os.path.dirname(os.path.dirname(
-                                      os.path.dirname(os.path.abspath(__file__)))),
-                                      f'.jax_cache_{_host_fingerprint()}'))
+    if path is None and 'GHN3_JAX_CACHE' not in os.environ:
+        # TPU executables are device-targeted, not host-ISA-specialized —
+        # share one dir so driver bench runs start hot across host rotations.
+        # Only XLA:CPU AOT results embed host ISA; scope those per host.
+        # Callers settle the platform before calling (dryrun_multichip forces
+        # cpu first), so initializing the backend here is safe.
+        suffix = (f'_cpu_{_host_fingerprint()}'
+                  if jax.default_backend() == 'cpu' else '')
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), f'.jax_cache{suffix}')
+    path = path or os.environ.get('GHN3_JAX_CACHE')
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update('jax_compilation_cache_dir', path)
