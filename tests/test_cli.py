@@ -44,6 +44,26 @@ def test_train_net_cli_with_ghn_init(tmp_path):
     assert 'initialized' in out and 'done' in out
 
 
+@pytest.mark.slow
+def test_train_net_cli_deepnets_index(tmp_path):
+    # the reference's ppuda train_net surface: --arch <idx> trains the idx-th
+    # net of a DeepNets-1M split (reference train_ddp.py -> ppuda init_config)
+    pytest.importorskip('torch')
+    from conftest import reference_available
+    if not reference_available():
+        pytest.skip('reference repo not mounted (fixture builder needs it)')
+    from deepnets_fixture import build_fixture
+    nets_dir = str(tmp_path / 'dn1m')
+    os.makedirs(nets_dir)
+    build_fixture(nets_dir)
+    out = _run(['cli/train_net.py', '-d', 'synthetic', '--arch', '1',
+                '--split', 'val', '--nets_dir', nets_dir,
+                '-e', '1', '-b', '8', '--max_steps', '1', '--imsize', '32',
+                '--save', '', '--platform', 'cpu', '--log_interval', '1'])
+    assert 'DeepNets-1M val[1]' in out
+    assert 'done' in out
+
+
 def test_convert_ckpt_cli(tmp_path):
     code = ("import jax; jax.config.update('jax_platforms','cpu');"
             "from ghn3_tpu import GHN3, GHNConfig;"
