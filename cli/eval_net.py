@@ -28,6 +28,16 @@ def main():
         from ghn3_tpu.nets.simple import ConvNet
         model = ConvNet(channels=(32, 64, 128), num_classes=args.num_classes,
                         input_sz=args.imsize)
+    elif str(args.arch).isdigit():
+        # numeric arch = index into a DeepNets-1M split (reference eval.py ->
+        # ppuda init_config --arch semantics, mirrored from cli/train_net.py)
+        from ghn3_tpu.data.deepnets1m import DeepNets1M
+        from ghn3_tpu.nets.darts import Network
+        ds = DeepNets1M(split=args.split, nets_dir=args.nets_dir,
+                        num_nets=int(args.arch) + 1, attach_net=False)
+        g = ds[int(args.arch)]
+        model = Network(num_classes=args.num_classes,
+                        is_imagenet_input=(args.imsize or 32) > 64, **g.net_args)
     else:
         from ghn3_tpu.zoo.jax_zoo import JAX_ZOO
         model = JAX_ZOO[args.arch](num_classes=args.num_classes)
@@ -35,8 +45,10 @@ def main():
     data_file = np.load(args.ckpt, allow_pickle=True)
     params = {k: jnp.asarray(data_file[k]) for k in data_file.files
               if not k.startswith('__')}
-    data = image_loader(args.dataset, args.data_dir, imsize=args.imsize, split='val',
-                        crop_pct=args.crop_pct)
+    # inception_v3 evaluates at 299 px (reference eval.py im_size choice)
+    imsize = 299 if args.arch == 'inception_v3' and args.imsize is None else args.imsize
+    data = image_loader(args.dataset, args.data_dir, imsize=imsize, split='val',
+                        noise=args.noise, crop_pct=args.crop_pct)
     top1, top5 = infer(model, params, data, batch_size=args.val_batch_size)
     log(f'{args.arch}: top1={top1:.3f} top5={top5:.3f}')
 
