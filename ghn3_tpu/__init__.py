@@ -12,6 +12,10 @@ from .config import GHNConfig
 from .hypernet import GHN3
 from .metadata import get_metadata, norm_check
 
+# the reference's flagship entry point is a top-level function
+# (`from ghn3 import from_pretrained`, nn.py); keep that spelling working
+from_pretrained = GHN3.from_pretrained
+
 # heavier subsystems are imported lazily by their modules:
 #   ghn3_tpu.parallel.trainer.Trainer      training loop (GHN meta / classifier)
 #   ghn3_tpu.predict.{predict_batch,predict_packed}
@@ -21,4 +25,4 @@ from .metadata import get_metadata, norm_check
 #   ghn3_tpu.torch_interop.adjust_net      small-image model surgery (ppuda)
 
 __all__ = ['GraphDef', 'GraphBatch', 'PRIMITIVES', 'GHNConfig', 'GHN3',
-           'get_metadata', 'norm_check', '__version__']
+           'from_pretrained', 'get_metadata', 'norm_check', '__version__']
