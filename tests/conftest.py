@@ -50,6 +50,21 @@ def enable_reference_import():
 # ---------------------------------------------------------------------------
 import pytest as _pytest  # noqa: E402
 
+
+@_pytest.fixture(autouse=True, scope='module')
+def _free_compiled_programs_between_modules():
+    """XLA:CPU's in-process compiler has segfaulted after several hundred
+    compilations in one long pytest process (observed repeatedly on small
+    hosts: a backend_compile_and_load frame, a different test each time, and
+    every such test passes in isolation). Dropping the executable caches at
+    module boundaries keeps the live-compilation footprint bounded; tests
+    within a module still share their jitted programs."""
+    yield
+    jax.clear_caches()
+    import gc
+    gc.collect()
+
+
 _SLOW_PATTERNS = (
     'test_cli.py::test_train_ghn_cli',
     'test_cli.py::test_train_net_cli_with_ghn_init',
