@@ -100,10 +100,17 @@ def sample_net_args(rng: np.random.Generator, ops: Optional[Sequence[str]] = Non
                     imagenet: bool = False) -> dict:
     kw = {'ops': tuple(ops)} if ops else {}
     geno = random_genotype(rng, steps=int(rng.choice(steps_choices)), **kw)
+    # flatten heads (glob_avg=False) use the reference Network's FIXED
+    # flattened-feature table (ops.py:497-500); msa/cse stride semantics can
+    # produce spatial sizes the table does not cover, and the reference
+    # Network itself crashes on such nets (verified: identical shape-mismatch
+    # error, reference vs ours) — so like the published generator, never
+    # emit flatten heads for msa/cse genotypes
+    special = any(o in ('msa', 'cse') for o, _ in geno.normal + geno.reduce)
     return dict(genotype=geno,
                 n_cells=int(rng.choice(cells_choices)),
                 C=int(rng.choice(c_choices)),
-                glob_avg=bool(rng.random() < glob_avg_p),
+                glob_avg=True if special else bool(rng.random() < glob_avg_p),
                 preproc=True,
                 C_mult=int(rng.choice(c_mult_choices)),
                 fc_layers=int(rng.choice(fc_layers_choices)),

@@ -38,6 +38,12 @@ def main():
     ap.add_argument('--c-mult', type=str, default='1,2')
     ap.add_argument('--fc-layers', type=str, default='1,2')
     ap.add_argument('--glob-avg-p', type=float, default=0.9)
+    ap.add_argument('--ops', type=str, default=None,
+                    help='comma-separated genotype op pool override, e.g. '
+                         '"sep_conv_3x3,conv_3x3,max_pool_3x3,skip_connect,'
+                         'dil_conv_3x3,avg_pool_3x3,none,msa,cse" to include '
+                         'the ViT/squeeze-excite primitives the published '
+                         'dataset samples (default: the conv/pool/skip pool)')
     args = ap.parse_args()
 
     def ints(s):
@@ -52,6 +58,7 @@ def main():
                         c_mult_choices=ints(args.c_mult),
                         fc_layers_choices=ints(args.fc_layers),
                         glob_avg_p=args.glob_avg_p,
+                        ops=tuple(args.ops.split(',')) if args.ops else None,
                         log_every=max(1, args.num_train // 10))
     print(f'wrote DeepNets-1M-format dataset ({args.num_train} train / '
           f'{args.val} val) to {out}')

@@ -196,3 +196,28 @@ def test_writer_loader_roundtrip(tmp_path):
         assert g.n_nodes == g2.n_nodes, i
         np.testing.assert_array_equal(g.node_op, g2.node_op, err_msg=str(i))
         np.testing.assert_array_equal(g.adj, g2.adj, err_msg=str(i))
+
+
+def test_writer_msa_cse_pool_never_emits_flatten_heads(tmp_path):
+    """With the full op pool (--ops incl. msa/cse), the writer never pairs
+    msa/cse genotypes with flatten heads: the reference Network's fixed
+    flattened-feature table (ops.py:497-500) does not cover msa/cse stride
+    semantics, and the reference itself crashes on such nets (verified by
+    running the identical net through the reference oracle)."""
+    from ghn3_tpu.data.deepnets1m import DeepNets1M
+    from ghn3_tpu.data.deepnets1m_writer import write_dataset
+
+    ops = ('sep_conv_3x3', 'conv_3x3', 'max_pool_3x3', 'skip_connect',
+           'dil_conv_3x3', 'avg_pool_3x3', 'none', 'msa', 'cse')
+    out = write_dataset(str(tmp_path), n_train=24, n_val=4, seed=3, ops=ops,
+                        glob_avg_p=0.5)
+    ds = DeepNets1M(split='train', nets_dir=out, num_nets=24, attach_net=False)
+    n_special = 0
+    for i in range(len(ds)):
+        na = ds[i].net_args
+        geno = na['genotype']
+        special = any(o in ('msa', 'cse') for o, _ in geno.normal + geno.reduce)
+        n_special += special
+        if special:
+            assert na['glob_avg'], f'net {i}: msa/cse with flatten head'
+    assert n_special >= 5, 'op pool should produce msa/cse nets in 24 draws'
