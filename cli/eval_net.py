@@ -33,6 +33,10 @@ def main():
         # ppuda init_config --arch semantics, mirrored from cli/train_net.py)
         from ghn3_tpu.data.deepnets1m import DeepNets1M
         from ghn3_tpu.nets.darts import Network
+        if args.split == 'torch':
+            raise SystemExit('--arch <index> selects a DeepNets-1M net; pass a '
+                             'DeepNets split too, e.g. --split val (default '
+                             "'torch' is the torchvision zoo sweep)")
         ds = DeepNets1M(split=args.split, nets_dir=args.nets_dir,
                         num_nets=int(args.arch) + 1, attach_net=False)
         g = ds[int(args.arch)]
@@ -45,8 +49,10 @@ def main():
     data_file = np.load(args.ckpt, allow_pickle=True)
     params = {k: jnp.asarray(data_file[k]) for k in data_file.files
               if not k.startswith('__')}
-    # inception_v3 evaluates at 299 px (reference eval.py im_size choice)
-    imsize = 299 if args.arch == 'inception_v3' and args.imsize is None else args.imsize
+    # inception_v3 evaluates at 299 px unless the user pinned -i
+    # (reference eval.py im_size choice)
+    imsize = (299 if args.arch == 'inception_v3' and not args.imsize_explicit
+              else args.imsize)
     data = image_loader(args.dataset, args.data_dir, imsize=imsize, split='val',
                         noise=args.noise, crop_pct=args.crop_pct)
     top1, top5 = infer(model, params, data, batch_size=args.val_batch_size)

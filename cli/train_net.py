@@ -32,6 +32,10 @@ def build_model(args):
         # ppuda train_net surface: --arch <idx> --split val/test/...)
         from ghn3_tpu.data.deepnets1m import DeepNets1M
         from ghn3_tpu.nets.darts import Network
+        if args.split == 'torch':
+            raise SystemExit('--arch <index> selects a DeepNets-1M net; pass a '
+                             'DeepNets split too, e.g. --split val (default '
+                             "'torch' is the torchvision zoo sweep)")
         ds = DeepNets1M(split=args.split, nets_dir=args.nets_dir,
                         num_nets=int(args.arch) + 1, attach_net=False)
         g = ds[int(args.arch)]

@@ -81,7 +81,23 @@ def cached_graph(name: str, build: Callable[[], GraphDef], ve_cutoff: int = 50,
         with open(tmp, 'wb') as f:
             pickle.dump(g, f)
         os.replace(tmp, path)
+        _prune_superseded(name, ve_cutoff, cache_dir, keep=path)
     except Exception:
         pass
     g.net = net
     return g
+
+
+def _prune_superseded(name: str, ve_cutoff: int, cache_dir: str,
+                      keep: str) -> None:
+    """Remove this model's entries written under older code fingerprints /
+    versions: every graph-affecting source edit re-keys the whole zoo
+    (multi-MB pickles each), so without pruning the cache grows by a full
+    stale generation per edit."""
+    import glob
+    for p in glob.glob(os.path.join(cache_dir, f'{name}_ve{ve_cutoff}_v*.pkl')):
+        if p != keep:
+            try:
+                os.remove(p)
+            except OSError:
+                pass

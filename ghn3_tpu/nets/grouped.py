@@ -61,7 +61,7 @@ from ..ops.assembly import decode_key
 from .interpreter import (
     MAX_SLOT_NODES, ArchBucket, CellGeom, CellTrue, _Fetcher, _compact_channels,
     _frob, _pool_counts, _saved, cell_geometry, head_features, op_param_specs,
-    stem_resolution, true_widths,
+    op_true_dims, stem_resolution, true_widths,
 )
 
 # op bases a family-grouped program can execute; msa is deliberately absent
@@ -258,50 +258,15 @@ def _w_fetch(fe: _Fetcher, nid, pad_sz, t0=None, t1=None, fan=None, k_t=None):
     return _saved(fe.cast(w)), _frob(w)
 
 
-def _family_true_dims(base: str, k_t, c_t, has_norm: bool):
-    """True (t0, t1, fan) per w4d/w2d spec and (t,) per pair/bias spec,
-    aligned with op_param_specs rows; ``k_t``/``c_t`` may be traced."""
-    kk = k_t * k_t
-    if base == 'skip_reduce':
-        dims = [(c_t // 2, c_t, c_t), (c_t // 2, c_t, c_t)]
-        if has_norm:
-            dims.append((c_t,))
-        return dims
-    if base == 'conv':
-        dims = [(c_t, c_t, c_t * kk)]
-        if has_norm:
-            dims.append((c_t,))
-        return dims
-    if base == 'conv2':
-        dims = [(c_t, c_t, c_t * k_t), (c_t, c_t, c_t * k_t)]
-        if has_norm:
-            dims.append((c_t,))
-        return dims
-    if base == 'sep_conv':
-        dims = [(c_t, 1, kk), (c_t, c_t, c_t)]
-        if has_norm:
-            dims.append((c_t,))
-        dims += [(c_t, 1, kk), (c_t, c_t, c_t)]
-        if has_norm:
-            dims.append((c_t,))
-        return dims
-    if base == 'dil_conv':
-        dims = [(c_t, 1, kk), (c_t, c_t, c_t)]
-        if has_norm:
-            dims.append((c_t,))
-        return dims
-    if base == 'cse':
-        return [(c_t // 2, c_t, c_t), (c_t // 2,),
-                (c_t, c_t // 2, c_t // 2), (c_t,)]
-    raise NotImplementedError(base)
-
-
 def _family_fetch(fe: _Fetcher, nds, spec_base: str, kmax: int, c: int,
                   has_norm: bool, c_t, k_t):
     """Per-net fetch of one family's tensors in spec order (pair -> 2 tensors).
-    ``c_t``/``k_t`` are the net's true width / kernel (traced or int)."""
+    ``c_t``/``k_t`` are the net's true width / kernel (traced or int).
+    True dims come from interpreter.op_true_dims (shared with the scan path,
+    so a new op base cannot put the two executors' fan-in tables out of sync;
+    it accepts traced k the same as traced c)."""
     specs = op_param_specs(spec_base, kmax, c, c, has_norm)
-    dims = _family_true_dims(spec_base, k_t, c_t, has_norm)
+    dims = op_true_dims(spec_base, k_t, c_t, has_norm)
     kt_arg = None if (isinstance(k_t, int) and k_t == kmax) else k_t
     out, total = [], jnp.float32(0.0)
     for i, (kind, _name, sz) in enumerate(specs):

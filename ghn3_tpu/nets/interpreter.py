@@ -1117,10 +1117,12 @@ def bucket_of(net_args: dict, num_classes: int, is_imagenet_input: bool,
 
     With ``fold_widths`` (default), C and fc_dim are padded up to WIDTH_CLASSES /
     FC_CLASSES so same-class nets share one program (exact numerics; see the
-    module comment). Nets whose width already equals its class run the static
-    exact program — the fixed-width bench path compiles the same programs as
-    before. ViT nets (stem_type 2) keep exact widths: their per-head attention
-    reshapes are width-static (documented limitation)."""
+    module comment). Folding is UNIFORM: every non-ViT net runs the folded
+    (dynamic-width) program, including nets already at their pad class — that
+    keeps boundary nets from splitting program keys, at the cost that
+    fixed-width benchmarks also measure the folded program, not the pre-folding
+    static one. ViT nets (stem_type 2) keep exact widths: their per-head
+    attention reshapes are width-static (documented limitation)."""
     g: Genotype = net_args['genotype']
     is_vit = any(n[0] == 'msa' for n in g.normal + g.reduce)
     norm = net_args.get('norm', 'bn')

@@ -343,12 +343,15 @@ class Trainer:
                         else self.interp_exec == 'grouped')
         use_grouped = (want_grouped and grouped_supported(bucket)
                        and not (self.net_shard and self.mesh is not None))
+
+        if self.net_shard and self.mesh is not None:
+            # net-sharded DP always runs the per-net scan; an explicit
+            # interp_exec='grouped' request is overridden rather than
+            # validated against the bucket (msa/ViT buckets are fine here)
+            return self._interp_step_fn_net_shard(ib, net_fwd)
         if self.interp_exec == 'grouped' and not grouped_supported(bucket):
             raise ValueError('bucket not supported by the grouped executor '
                              '(msa/ViT vocabularies need interp_exec=scan)')
-
-        if self.net_shard and self.mesh is not None:
-            return self._interp_step_fn_net_shard(ib, net_fwd)
 
         def step(params, opt_state, node_op, adj, shape_ind, mask, levels,
                  arch, images, labels):

@@ -131,6 +131,9 @@ def init_config(mode: str = 'train_ghn', parser: Optional[argparse.ArgumentParse
                 pass
         jax.config.update('jax_platforms', args.platform)
 
+    # record whether the user pinned -i/--imsize BEFORE defaulting it, so
+    # arch-specific defaults (inception 299px, reference eval.py) can apply
+    args.imsize_explicit = args.imsize is not None
     if args.imsize is None:
         args.imsize = 224 if args.dataset == 'imagenet' else 32
     args.num_classes = {'imagenet': 1000, 'cifar10': 10, 'synthetic': 10,
