@@ -72,6 +72,7 @@ _SLOW_PATTERNS = (
     'test_deepnets.py::test_interpreter_on_dataset_records',
     'test_deepnets.py::test_meta_training_step_on_deepnets',
     'test_meta_executor.py::test_trainer_streams_unique_archs_zero_recompiles',
+    'test_meta_executor.py::test_net_sharded_dp_matches_replicated',
     'test_trainer.py::test_nan_skip',
     'test_trainer.py::test_checkpoint_orbax_backend',
     'test_trainer.py::test_checkpoint_save_resume',
