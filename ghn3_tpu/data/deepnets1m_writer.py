@@ -97,7 +97,7 @@ def sample_net_args(rng: np.random.Generator, ops: Optional[Sequence[str]] = Non
                     c_choices=(8, 16, 32), fc_dim_choices=(256,),
                     c_mult_choices=(1, 2), fc_layers_choices=(1, 2),
                     glob_avg_p: float = 0.9,
-                    imagenet: bool = False) -> dict:
+                    imagenet: bool = False, norm: str = 'bn') -> dict:
     kw = {'ops': tuple(ops)} if ops else {}
     geno = random_genotype(rng, steps=int(rng.choice(steps_choices)), **kw)
     # flatten heads (glob_avg=False) use the reference Network's FIXED
@@ -117,17 +117,49 @@ def sample_net_args(rng: np.random.Generator, ops: Optional[Sequence[str]] = Non
                 fc_dim=int(rng.choice(fc_dim_choices)),
                 stem_type=int(rng.choice((0, 1))) if imagenet else 0,
                 stem_pool=bool(rng.random() < 0.5) if imagenet else False,
-                norm='bn',
+                norm=norm,
                 ks=3)
+
+
+# Out-of-distribution eval splits, mirroring the published dataset's split
+# vocabulary (ppuda DeepNets-1M; consumed by the reference at eval_ghn.py:94-102
+# via `--split wide/deep/dense/bnfree`). Each entry maps a split name to the
+# sampling overrides that define its distribution shift relative to train:
+#   test   — in-distribution (same sampler as train/val)
+#   wide   — stored args are in-distribution; the LOADER widens C 4x (2x for
+#            large images) at decode time, matching the published mechanism
+#            (data/deepnets1m.py `self.split == 'wide'`)
+#   deep   — 2x the cell-count pool (deeper networks than ever trained on)
+#   dense  — 2x the steps pool (denser cells: more ops and skip wiring)
+#   bnfree — no normalization layers anywhere (norm=None)
+def _ood_overrides(split: str, sample_kw: dict) -> dict:
+    kw = dict(sample_kw)
+    if split == 'deep':
+        cells = kw.get('cells_choices', (2, 3, 4))
+        kw['cells_choices'] = tuple(2 * c for c in cells)
+    elif split == 'dense':
+        steps = kw.get('steps_choices', (1, 2))
+        kw['steps_choices'] = tuple(2 * s for s in steps)
+    elif split == 'bnfree':
+        kw['norm'] = None
+    return kw
 
 
 def write_dataset(out_dir: str, n_train: int = 64, n_val: int = 8,
                   num_classes: int = 10, imagenet: bool = False,
                   seed: int = 0, ve_cutoff: int = 50,
                   ops: Optional[Sequence[str]] = None,
-                  log_every: int = 0, **sample_kw) -> str:
+                  log_every: int = 0, n_test: int = 0, n_wide: int = 0,
+                  n_deep: int = 0, n_dense: int = 0, n_bnfree: int = 0,
+                  **sample_kw) -> str:
     """Write ``deepnets1m_train.hdf5`` / ``deepnets1m_eval.hdf5`` +
-    ``deepnets1m_meta.json`` in the published layout under ``out_dir``."""
+    ``deepnets1m_meta.json`` in the published layout under ``out_dir``.
+
+    ``n_test``/``n_wide``/``n_deep``/``n_dense``/``n_bnfree`` add the published
+    out-of-distribution eval splits (all groups of the eval file; see
+    :func:`_ood_overrides`). train/val sampling is unchanged for a given seed —
+    extra splits draw from the rng stream *after* train/val, so adding them to
+    an existing recipe preserves its train/val content byte for byte."""
     import h5py
 
     rng = np.random.default_rng(seed)
@@ -150,39 +182,50 @@ def write_dataset(out_dir: str, n_train: int = 64, n_val: int = 8,
 
     os.makedirs(out_dir, exist_ok=True)
     meta: dict = {'meta': {'primitives_ext': prim_ext, 'op_names_net': op_names}}
-    for split, count, fname in (('train', n_train, 'deepnets1m_train.hdf5'),
-                                ('val', n_val, 'deepnets1m_eval.hdf5')):
+
+    def write_split(grp, split: str, count: int) -> List[dict]:
+        kw = _ood_overrides(split, sample_kw)
         nets_meta = []
-        with h5py.File(os.path.join(out_dir, fname), 'w') as f:
-            grp = f.create_group(split)
-            written = 0
-            while written < count:
-                args = sample_net_args(rng, ops=ops, imagenet=imagenet, **sample_kw)
-                try:
-                    g = build_genotype_graph(num_classes=num_classes,
-                                             is_imagenet_input=imagenet,
-                                             ve_cutoff=ve_cutoff,
-                                             **args)
-                    adj, (exts, cells, names) = graph_record(g, args['n_cells'])
-                except Exception:
-                    continue  # unbuildable sample (e.g. empty concat): resample
-                nodes = np.zeros((len(exts), 3), dtype=np.int64)
-                for i, (e, c, nm) in enumerate(zip(exts, cells, names)):
-                    nodes[i] = (intern(prim_ext, e), c, intern(op_names, nm))
-                sub = grp.create_group(str(written))
-                sub.create_dataset('adj', data=adj)
-                sub.create_dataset('nodes', data=nodes)
-                row = dict(args)
-                row['genotype'] = geno_dict(args['genotype'])
-                row['num_nodes'] = int(len(exts))
-                n_params = int(sum(int(np.prod(sz)) for sz in g.param_shapes
-                                   if sz is not None))
-                row['num_params'] = {'cifar10': n_params, 'imagenet': n_params}
-                nets_meta.append(row)
-                written += 1
-                if log_every and written % log_every == 0:
-                    print(f'{split}: {written}/{count}')
-        meta[split] = {'nets': nets_meta}
+        written = 0
+        while written < count:
+            args = sample_net_args(rng, ops=ops, imagenet=imagenet, **kw)
+            try:
+                g = build_genotype_graph(num_classes=num_classes,
+                                         is_imagenet_input=imagenet,
+                                         ve_cutoff=ve_cutoff,
+                                         **args)
+                adj, (exts, cells, names) = graph_record(g, args['n_cells'])
+            except Exception:
+                continue  # unbuildable sample (e.g. empty concat): resample
+            nodes = np.zeros((len(exts), 3), dtype=np.int64)
+            for i, (e, c, nm) in enumerate(zip(exts, cells, names)):
+                nodes[i] = (intern(prim_ext, e), c, intern(op_names, nm))
+            sub = grp.create_group(str(written))
+            sub.create_dataset('adj', data=adj)
+            sub.create_dataset('nodes', data=nodes)
+            row = dict(args)
+            row['genotype'] = geno_dict(args['genotype'])
+            row['num_nodes'] = int(len(exts))
+            n_params = int(sum(int(np.prod(sz)) for sz in g.param_shapes
+                               if sz is not None))
+            row['num_params'] = {'cifar10': n_params, 'imagenet': n_params}
+            nets_meta.append(row)
+            written += 1
+            if log_every and written % log_every == 0:
+                print(f'{split}: {written}/{count}')
+        return nets_meta
+
+    with h5py.File(os.path.join(out_dir, 'deepnets1m_train.hdf5'), 'w') as f:
+        meta['train'] = {'nets': write_split(f.create_group('train'), 'train',
+                                             n_train)}
+    eval_counts = [('val', n_val), ('test', n_test), ('wide', n_wide),
+                   ('deep', n_deep), ('dense', n_dense), ('bnfree', n_bnfree)]
+    with h5py.File(os.path.join(out_dir, 'deepnets1m_eval.hdf5'), 'w') as f:
+        for split, count in eval_counts:
+            if split != 'val' and count <= 0:
+                continue
+            meta[split] = {'nets': write_split(f.create_group(split), split,
+                                               count)}
     with open(os.path.join(out_dir, 'deepnets1m_meta.json'), 'w') as f:
         json.dump(meta, f)
     return out_dir

@@ -151,6 +151,7 @@ class Trainer:
                  checkpoint_backend: str = 'npz',   # 'npz' | 'orbax'
                  interp_vmap: bool = False,
                  interp_exec: str = 'auto',     # 'auto'|'grouped'|'scan'|'vmap'
+                 interp_net_unroll: int = 1,
                  net_shard: bool = False,
                  verbose: bool = False):
         assert (ghn is None) != (model is None), 'pass exactly one of ghn / model'
@@ -182,6 +183,12 @@ class Trainer:
         # nets over the data axis, replicate images — for meta_bs >= n_devices
         # regimes where per-device image shards would get tiny
         self.net_shard = net_shard
+        # unroll factor of the per-net lax.scan in the interpreter step: the
+        # carry is a dummy scalar (iterations are independent), so unrolling
+        # lets the XLA scheduler interleave nets whose individual ops are too
+        # small to fill the chip — at the cost of an ~unroll-times larger
+        # program to compile (see tools/bench_train.py --net-unroll)
+        self.interp_net_unroll = max(1, int(interp_net_unroll))
         self.verbose = verbose
         self.save_dir = save_dir
         self.checkpoint_backend = checkpoint_backend
@@ -379,7 +386,8 @@ class Trainer:
                                        predwd)
 
                     _, (logits_all, losses, predwds) = jax.lax.scan(
-                        per_net, jnp.float32(0.0), (x, arch))
+                        per_net, jnp.float32(0.0), (x, arch),
+                        unroll=min(self.interp_net_unroll, len(ib.batch)))
                 loss = losses.mean()
                 loss_predwd = predparam_wd * predwds.sum() if predparam_wd > 0 else 0.0
                 return loss + loss_predwd, (logits_all, loss, loss_predwd)
@@ -441,7 +449,8 @@ class Trainer:
                                accs[1], accs[5])
 
             _, (losses, predwds, t1, t5) = jax.lax.scan(
-                per_net, jnp.float32(0.0), (x, arch))
+                per_net, jnp.float32(0.0), (x, arch),
+                unroll=min(self.interp_net_unroll, max(1, b_meta // n_dev)))
             sums = jnp.stack([losses.sum(), predwds.sum(), t1.sum(), t5.sum()])
             return jax.lax.psum(sums, 'data')
 

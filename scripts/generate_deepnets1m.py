@@ -23,6 +23,13 @@ def main():
     ap.add_argument('--out', default='./data')
     ap.add_argument('-n', '--num-train', type=int, default=1000)
     ap.add_argument('--val', type=int, default=100)
+    # out-of-distribution eval splits (published DeepNets-1M vocabulary,
+    # reference eval_ghn.py --split wide/deep/dense/bnfree); 0 = omit
+    ap.add_argument('--test', type=int, default=0)
+    ap.add_argument('--wide', type=int, default=0)
+    ap.add_argument('--deep', type=int, default=0)
+    ap.add_argument('--dense', type=int, default=0)
+    ap.add_argument('--bnfree', type=int, default=0)
     ap.add_argument('--num-classes', type=int, default=10)
     ap.add_argument('--imagenet', action='store_true',
                     help='imagenet-style stems / large-image geometry')
@@ -51,6 +58,8 @@ def main():
 
     from ghn3_tpu.data.deepnets1m_writer import write_dataset
     out = write_dataset(args.out, n_train=args.num_train, n_val=args.val,
+                        n_test=args.test, n_wide=args.wide, n_deep=args.deep,
+                        n_dense=args.dense, n_bnfree=args.bnfree,
                         num_classes=args.num_classes, imagenet=args.imagenet,
                         seed=args.seed, ve_cutoff=args.ve,
                         cells_choices=ints(args.cells), steps_choices=ints(args.steps),
@@ -60,8 +69,12 @@ def main():
                         glob_avg_p=args.glob_avg_p,
                         ops=tuple(args.ops.split(',')) if args.ops else None,
                         log_every=max(1, args.num_train // 10))
+    extra = ', '.join(f'{n} {s}' for s, n in
+                      (('test', args.test), ('wide', args.wide),
+                       ('deep', args.deep), ('dense', args.dense),
+                       ('bnfree', args.bnfree)) if n)
     print(f'wrote DeepNets-1M-format dataset ({args.num_train} train / '
-          f'{args.val} val) to {out}')
+          f'{args.val} val{" / " + extra if extra else ""}) to {out}')
 
 
 if __name__ == '__main__':

@@ -221,3 +221,54 @@ def test_writer_msa_cse_pool_never_emits_flatten_heads(tmp_path):
         if special:
             assert na['glob_avg'], f'net {i}: msa/cse with flatten head'
     assert n_special >= 5, 'op pool should produce msa/cse nets in 24 draws'
+
+
+def test_writer_ood_eval_splits(tmp_path):
+    """The writer emits the published OOD eval splits (reference eval_ghn.py
+    --split wide/deep/dense/bnfree) into the shared eval file; each decodes
+    through DeepNets1M with its defining distribution shift, the predict path
+    consumes the shifted nets, and adding splits to a recipe leaves train/val
+    byte-identical (rng draws after train/val)."""
+    import json
+
+    import numpy as np
+
+    from ghn3_tpu.data.deepnets1m import DeepNets1M
+    from ghn3_tpu.data.deepnets1m_writer import write_dataset
+    from ghn3_tpu.nets.darts_graph import build_genotype_graph
+
+    base = write_dataset(str(tmp_path / 'a'), n_train=4, n_val=3, seed=11)
+    full = write_dataset(str(tmp_path / 'b'), n_train=4, n_val=3, seed=11,
+                         n_test=2, n_wide=2, n_deep=2, n_dense=2, n_bnfree=2)
+    ma = json.load(open(base + '/deepnets1m_meta.json'))
+    mb = json.load(open(full + '/deepnets1m_meta.json'))
+    assert json.dumps(ma['train']['nets']) == json.dumps(mb['train']['nets'])
+    assert json.dumps(ma['val']['nets']) == json.dumps(mb['val']['nets'])
+
+    for split in ('val', 'test', 'wide', 'deep', 'dense', 'bnfree'):
+        ds = DeepNets1M(split=split, nets_dir=full, attach_net=False)
+        for i in range(len(ds)):
+            g = ds[i]
+            na = g.net_args
+            stored = ds.nets[i]
+            if split == 'wide':
+                # the loader widens stored C 4x at decode (published mechanism)
+                assert na['C'] == stored['C'] * 4
+            else:
+                assert na['C'] == stored['C']
+            if split == 'bnfree':
+                assert na['norm'] in (None, '', 'none')
+            else:
+                assert na['norm'] == 'bn'
+            if split == 'deep':
+                assert na['n_cells'] in (4, 6, 8)   # 2x the (2,3,4) train pool
+            if split == 'dense':
+                assert len(na['genotype'].normal) >= 4   # 2x the steps pool
+            # eval-split records decode to the same graph the constructive
+            # builder emits for the stored args (wide rebuilds at 4x width)
+            if split != 'wide':
+                g2 = build_genotype_graph(num_classes=10,
+                                          is_imagenet_input=False,
+                                          ve_cutoff=50, **na)
+                np.testing.assert_array_equal(g.node_op, g2.node_op)
+                np.testing.assert_array_equal(g.adj, g2.adj)

@@ -50,6 +50,13 @@ def main():
     ap.add_argument('--bf16', action='store_true',
                     help='bfloat16 compute for the graphormer AND target nets '
                          '(the reference --amp recipe)')
+    ap.add_argument('--net-unroll', type=int, default=1,
+                    help='unroll factor of the per-net scan (iterations are '
+                         'independent; unrolling lets XLA interleave nets at '
+                         'the cost of a larger program to compile)')
+    ap.add_argument('--mfu', action='store_true',
+                    help='report step FLOPs (XLA cost analysis of the compiled '
+                         'step) and MFU vs the v5e bf16 peak')
     ap.add_argument('--platform', default=None)
     ap.add_argument('--profile-dir', default=None,
                     help='capture a jax.profiler trace of the steady-state '
@@ -121,7 +128,8 @@ def main():
                       opt_args={'lr': 4e-4, 'weight_decay': 1e-2},
                       n_batches=args.steps, predparam_wd=3e-5,
                       label_smoothing=0.1, log_interval=10 ** 9,
-                      interp_vmap=args.vmap_nets, interp_exec=args.exec)
+                      interp_vmap=args.vmap_nets, interp_exec=args.exec,
+                      interp_net_unroll=args.net_unroll)
 
     img_rng = np.random.default_rng(1)
     images = img_rng.normal(size=(args.batch, 3, args.imsize, args.imsize)) \
@@ -180,6 +188,29 @@ def main():
     }
     assert result['compiled_programs'] <= len(args.widths), \
         f'recompile detected: {result}'
+    if args.net_unroll != 1:
+        result['net_unroll'] = args.net_unroll
+    if args.mfu:
+        try:
+            import jax.numpy as jnp
+            ib = batches[-1]
+            b = ib.batch
+            step_fn = trainer._step_cache[ib.key]
+            lowered = step_fn.lower(
+                trainer._params(), trainer.opt_state, jnp.asarray(b.node_op),
+                jnp.asarray(b.adj), jnp.asarray(ib.shape_ind),
+                jnp.asarray(b.mask), jnp.zeros_like(jnp.asarray(b.node_op)),
+                {k: jnp.asarray(v) for k, v in ib.arch.items()},
+                jnp.asarray(images), jnp.asarray(labels))
+            ca = lowered.compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get('flops', 0.0))
+            result['step_gflops'] = round(flops / 1e9, 1)
+            # one v5e chip, bf16 peak; fp32 runs understate achievable MFU
+            result['mfu_vs_v5e_bf16_peak'] = round(flops / steady / 197e12, 5)
+        except Exception as e:   # cost analysis is best-effort
+            result['mfu_error'] = repr(e)
     print(json.dumps(result))
     return result
 
