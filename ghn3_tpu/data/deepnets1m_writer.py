@@ -151,7 +151,7 @@ def write_dataset(out_dir: str, n_train: int = 64, n_val: int = 8,
                   ops: Optional[Sequence[str]] = None,
                   log_every: int = 0, n_test: int = 0, n_wide: int = 0,
                   n_deep: int = 0, n_dense: int = 0, n_bnfree: int = 0,
-                  **sample_kw) -> str:
+                  n_search: int = 0, **sample_kw) -> str:
     """Write ``deepnets1m_train.hdf5`` / ``deepnets1m_eval.hdf5`` +
     ``deepnets1m_meta.json`` in the published layout under ``out_dir``.
 
@@ -226,6 +226,14 @@ def write_dataset(out_dir: str, n_train: int = 64, n_val: int = 8,
                 continue
             meta[split] = {'nets': write_split(f.create_group(split), split,
                                                count)}
+    if n_search > 0:
+        # the published layout keeps the NAS 'search' split in its own file
+        # (loader h5_name rule; in-distribution sampling, train-mode decode).
+        # Written LAST in the rng stream so adding it to a recipe never
+        # changes the content of any other split.
+        with h5py.File(os.path.join(out_dir, 'deepnets1m_search.hdf5'), 'w') as f:
+            meta['search'] = {'nets': write_split(f.create_group('search'),
+                                                  'search', n_search)}
     with open(os.path.join(out_dir, 'deepnets1m_meta.json'), 'w') as f:
         json.dump(meta, f)
     return out_dir

@@ -30,6 +30,8 @@ def main():
     ap.add_argument('--deep', type=int, default=0)
     ap.add_argument('--dense', type=int, default=0)
     ap.add_argument('--bnfree', type=int, default=0)
+    ap.add_argument('--search', type=int, default=0,
+                    help='NAS search split (own hdf5 file, published layout)')
     ap.add_argument('--num-classes', type=int, default=10)
     ap.add_argument('--imagenet', action='store_true',
                     help='imagenet-style stems / large-image geometry')
@@ -59,7 +61,7 @@ def main():
     from ghn3_tpu.data.deepnets1m_writer import write_dataset
     out = write_dataset(args.out, n_train=args.num_train, n_val=args.val,
                         n_test=args.test, n_wide=args.wide, n_deep=args.deep,
-                        n_dense=args.dense, n_bnfree=args.bnfree,
+                        n_dense=args.dense, n_bnfree=args.bnfree, n_search=args.search,
                         num_classes=args.num_classes, imagenet=args.imagenet,
                         seed=args.seed, ve_cutoff=args.ve,
                         cells_choices=ints(args.cells), steps_choices=ints(args.steps),
@@ -72,7 +74,7 @@ def main():
     extra = ', '.join(f'{n} {s}' for s, n in
                       (('test', args.test), ('wide', args.wide),
                        ('deep', args.deep), ('dense', args.dense),
-                       ('bnfree', args.bnfree)) if n)
+                       ('bnfree', args.bnfree), ('search', args.search)) if n)
     print(f'wrote DeepNets-1M-format dataset ({args.num_train} train / '
           f'{args.val} val{" / " + extra if extra else ""}) to {out}')
 

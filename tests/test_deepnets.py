@@ -239,11 +239,16 @@ def test_writer_ood_eval_splits(tmp_path):
 
     base = write_dataset(str(tmp_path / 'a'), n_train=4, n_val=3, seed=11)
     full = write_dataset(str(tmp_path / 'b'), n_train=4, n_val=3, seed=11,
-                         n_test=2, n_wide=2, n_deep=2, n_dense=2, n_bnfree=2)
+                         n_test=2, n_wide=2, n_deep=2, n_dense=2, n_bnfree=2,
+                         n_search=2)
     ma = json.load(open(base + '/deepnets1m_meta.json'))
     mb = json.load(open(full + '/deepnets1m_meta.json'))
     assert json.dumps(ma['train']['nets']) == json.dumps(mb['train']['nets'])
     assert json.dumps(ma['val']['nets']) == json.dumps(mb['val']['nets'])
+
+    # the NAS search split lives in its own file (published layout)
+    search = DeepNets1M(split='search', nets_dir=full, attach_net=False)
+    assert len(search) == 2 and search.is_train and search[0].n_nodes > 0
 
     for split in ('val', 'test', 'wide', 'deep', 'dense', 'bnfree'):
         ds = DeepNets1M(split=split, nets_dir=full, attach_net=False)
