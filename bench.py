@@ -104,6 +104,10 @@ def predict_suite(jax):
     if os.environ.get('GHN3_BENCH_DTYPE'):   # e.g. bfloat16 speed-mode sweep
         import dataclasses
         cfg = dataclasses.replace(cfg, dtype=os.environ['GHN3_BENCH_DTYPE'])
+    if os.environ.get('GHN3_BENCH_PRECISION'):  # e.g. 'high' (3-pass bf16 fp32)
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, matmul_precision=os.environ['GHN3_BENCH_PRECISION'])
     # init on CPU (avoids a dozen TPU init-program compiles), then one transfer
     with jax.default_device(jax.devices('cpu')[0]):
         ghn = GHN3(cfg, seed=0)

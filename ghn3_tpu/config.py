@@ -30,6 +30,11 @@ class GHNConfig:
     dtype: str = 'float32'           # compute dtype of the graphormer stack
     flash: bool = False              # Pallas fused attention (TPU, large N, fwd-only)
     flash_min_nodes: int = 256       # below this, XLA fusion already wins
+    # matmul precision override for the fp32 predict path: None keeps the
+    # parity default ('highest' = 6-pass bf16 emulation on the TPU MXU).
+    # 'high' (3-pass) halves decode-matmul cost at ~1e-6 relative error —
+    # far inside the 1e-2 norm-check tolerance (reference nn.py:783-797)
+    matmul_precision: str = None
 
     def __post_init__(self):
         object.__setattr__(self, 'max_shape', tuple(self.max_shape))

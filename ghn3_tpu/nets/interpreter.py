@@ -365,8 +365,8 @@ class _Fetcher:
         # instead of a per-slot matvec inside every branch (same numerics —
         # rows of a batched matmul)
         from ..models.ghn_core import decode_1d, decode_conv_fc
-        with jax.default_matmul_precision(
-                'highest' if cfg.dtype == 'float32' else 'default'):
+        from ..predict import _precision
+        with jax.default_matmul_precision(_precision(cfg)):
             self.z_fc = decode_conv_fc(params, cfg, x_flat)   # (N, hid4, s, s)
             self.z_1d = decode_1d(params, x_flat)             # (N, 2*max_ch)
 

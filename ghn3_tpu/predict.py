@@ -133,6 +133,8 @@ def build_plan(batch: GraphBatch, tables: Sequence[TargetTable], cfg: GHNConfig,
 
 def _precision(cfg: GHNConfig) -> str:
     # full fp32 matmuls for checkpoint parity; bf16 mode trades parity for speed
+    if cfg.matmul_precision is not None:
+        return cfg.matmul_precision
     return 'highest' if cfg.dtype == 'float32' else 'default'
 
 
