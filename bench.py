@@ -243,17 +243,37 @@ def imagenet_scale_detail():
 def learning_proof_detail():
     """Meta-learning evidence measured during the round (tools/learning_proof.py):
     a GHN meta-trained on digits over a generated DeepNets-1M split, evaluated
-    on HELD-OUT architectures vs random init (RESULTS.md)."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        'results', 'learning_proof.json')
+    on HELD-OUT architectures vs random init (RESULTS.md), plus the published
+    out-of-distribution splits (wide/deep/dense/bnfree) and the fine-tuning
+    story (GHN init vs He init under an identical SGD budget)."""
+    rdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'results')
+    path = os.path.join(rdir, 'learning_proof.json')
     if not os.path.exists(path):
         return None
     with open(path) as f:
         s = json.load(f)
-    return {k: s[k] for k in ('dataset', 'split', 'n_archs',
-                              'mean_top1_predicted', 'mean_top1_untrained_ghn',
-                              'mean_top1_randinit', 'archs_beating_randinit')
-            if k in s}
+    out = {k: s[k] for k in ('dataset', 'split', 'n_archs',
+                             'mean_top1_predicted', 'mean_top1_untrained_ghn',
+                             'mean_top1_randinit', 'archs_beating_randinit')
+           if k in s}
+    ood = {}
+    for split in ('test', 'wide', 'deep', 'dense', 'bnfree'):
+        p = os.path.join(rdir, f'ood_{split}.json')
+        if os.path.exists(p):
+            with open(p) as f:
+                o = json.load(f)
+            ood[split] = {'predicted': round(o['mean_top1_predicted'], 2),
+                          'randinit': round(o['mean_top1_randinit'], 2),
+                          'beat_randinit': f"{o['archs_beating_randinit']}"
+                                           f"/{o['n_archs']}"}
+    if ood:
+        out['ood_splits'] = ood
+    p = os.path.join(rdir, 'finetune_proof.json')
+    if os.path.exists(p):
+        with open(p) as f:
+            ft = json.load(f)
+        out['finetune'] = ft['mean_top1']
+    return out
 
 
 def main():
@@ -266,7 +286,13 @@ def main():
     from ghn3_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
 
-    pred = predict_suite(jax)
+    # the device tunnel occasionally drops a remote_compile response mid-read
+    # (transient INTERNAL error); one retry rides the persistent compile cache
+    try:
+        pred = predict_suite(jax)
+    except Exception:
+        time.sleep(30)
+        pred = predict_suite(jax)
     detail = {
         'platform': jax.devices()[0].platform,
         'device': str(jax.devices()[0]),
