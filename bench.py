@@ -273,6 +273,14 @@ def learning_proof_detail():
         with open(p) as f:
             ft = json.load(f)
         out['finetune'] = ft['mean_top1']
+    p = os.path.join(rdir, 'learning_proof_ops.json')
+    if os.path.exists(p):  # second proof over the full op pool (msa/cse)
+        with open(p) as f:
+            o = json.load(f)
+        out['ops_diverse'] = {
+            'predicted': round(o['mean_top1_predicted'], 2),
+            'randinit': round(o['mean_top1_randinit'], 2),
+            'beat_randinit': f"{o['archs_beating_randinit']}/{o['n_archs']}"}
     return out
 
 

@@ -13,6 +13,26 @@ import numpy as np
 
 from .utils.logging import log
 
+# Error substrings that mark a *transient* device/tunnel failure (remote TPU
+# attachments drop mid-run; the XLA persistent cache makes a retry cheap).
+_TRANSIENT = ('remote_compile', 'response body closed', 'UNAVAILABLE',
+              'DEADLINE_EXCEEDED', 'Connection reset', 'Socket closed')
+
+
+def _retry_transient(fn, attempts: int = 3, wait_sec: float = 10.0):
+    """Run ``fn()``; on a transient device error, retry up to ``attempts``
+    times. Non-transient errors (and the final failure) propagate."""
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # jax wraps these as JaxRuntimeError/XlaRuntimeError
+            msg = str(e)
+            if i + 1 >= attempts or not any(t in msg for t in _TRANSIENT):
+                raise
+            log(f'transient device error (attempt {i + 1}/{attempts}), '
+                f'retrying in {wait_sec:.0f}s: {msg.splitlines()[0][:200]}')
+            time.sleep(wait_sec)
+
 
 def infer(model, params, data, batch_size: int = 64, max_batches: Optional[int] = None,
           seed: int = 0) -> Tuple[float, float]:
@@ -28,7 +48,7 @@ def infer(model, params, data, batch_size: int = 64, max_batches: Optional[int] 
         arg = params
     top1 = top5 = n = 0
     for bi, (images, labels) in enumerate(data.batches(batch_size, train=False, seed=seed)):
-        logits = np.asarray(fwd(arg, jnp.asarray(images)))
+        logits = np.asarray(_retry_transient(lambda: fwd(arg, jnp.asarray(images))))
         top = np.argsort(logits, axis=-1)[:, ::-1][:, :5]
         hits = top == labels[:, None]
         top1 += int(hits[:, :1].any(1).sum())
@@ -107,8 +127,12 @@ def predict_and_eval_suite(ghn, suite: Dict[str, tuple], data=None, batch_size: 
         batch = GraphBatch.from_graphs([graphs[n] for n in names])
         tables = [all_tables[n] for n in names]
         t0 = time.time()
-        views = predict_packed(ghn.params, ghn.config, batch, tables)
-        views[0].buffer.block_until_ready()
+
+        def _predict():
+            out = predict_packed(ghn.params, ghn.config, batch, tables)
+            out[0].buffer.block_until_ready()
+            return out
+        views = _retry_transient(_predict)
         t_predict = time.time() - t0
         # a single host fetch of the packed buffer serves all norm checks
         packed_np = np.asarray(jax.device_get(views[0].buffer))

@@ -107,3 +107,37 @@ def test_adjust_net_pair_matches():
         out_t = m(torch.from_numpy(x)).numpy()
     out_j = np.asarray(twin(P, jnp.asarray(x), training=False))
     np.testing.assert_allclose(out_j, out_t, atol=2e-4, rtol=2e-3)
+
+
+def test_retry_transient():
+    """Transient tunnel errors retry (up to 3 attempts); real errors raise
+    immediately. Protects long eval sweeps on remote-attached TPUs."""
+    import pytest
+    from ghn3_tpu.evaluate import _retry_transient
+
+    calls = {'n': 0}
+
+    def flaky():
+        calls['n'] += 1
+        if calls['n'] < 3:
+            raise RuntimeError('INTERNAL: http://host/remote_compile: '
+                               'response body closed before all bytes were read')
+        return 'ok'
+
+    assert _retry_transient(flaky, wait_sec=0.0) == 'ok'
+    assert calls['n'] == 3
+
+    def hard():
+        calls['n'] += 1
+        raise ValueError('shape mismatch')
+
+    calls['n'] = 0
+    with pytest.raises(ValueError):
+        _retry_transient(hard, wait_sec=0.0)
+    assert calls['n'] == 1  # non-transient: no retry
+
+    def always_transient():
+        raise RuntimeError('UNAVAILABLE: Socket closed')
+
+    with pytest.raises(RuntimeError):
+        _retry_transient(always_transient, attempts=2, wait_sec=0.0)
