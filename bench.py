@@ -281,6 +281,14 @@ def learning_proof_detail():
             'predicted': round(o['mean_top1_predicted'], 2),
             'randinit': round(o['mean_top1_randinit'], 2),
             'beat_randinit': f"{o['archs_beating_randinit']}/{o['n_archs']}"}
+    p = os.path.join(rdir, 'nas_demo.json')
+    if os.path.exists(p):  # prediction-based NAS on the search split
+        with open(p) as f:
+            o = json.load(f)
+        out['nas_search'] = {
+            'candidates': o['num_search'], 'spearman_rho': round(o['spearman_rho'], 3),
+            'trained_top1_by_rank_group': {g: round(v['trained'], 2)
+                                           for g, v in o['group_means'].items()}}
     return out
 
 
