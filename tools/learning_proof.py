@@ -57,6 +57,8 @@ def main():
         import jax
         jax.config.update('jax_platforms', args.platform)
 
+    import jax.numpy as jnp
+
     from ghn3_tpu import GHN3
     from ghn3_tpu.data.deepnets1m import DeepNets1M
     from ghn3_tpu.data.images import image_loader
@@ -86,10 +88,21 @@ def main():
     ghn0 = GHN3(ghn.config, seed=123456)
     untrained = eval_suite(ghn0, suite, data, args.batch_size, 'untrained-ghn')
 
-    # baseline: standard He init per architecture
+    # baseline: standard He init per architecture. The He values ride the
+    # predicted arm's PackedParams view (same buffer spec), so each net's
+    # eval reuses the ALREADY-COMPILED packed forward program instead of
+    # compiling a fresh dict-params program per arch (~1 min/arch saved on
+    # remote-attached TPUs).
     randinit = {}
     for j, (name, (_g, net)) in enumerate(suite.items()):
         params = he_init_params(net, seed=1000 + j)
+        view = getattr(net, 'predicted', None)
+        if view is not None and set(view.keys()) == set(params.keys()):
+            buf = np.zeros(view.buffer.shape, dtype=np.float32)
+            for pname, (off, shape) in view.spec.items():
+                buf[off:off + int(np.prod(shape))] = \
+                    np.asarray(params[pname], dtype=np.float32).ravel()
+            params = view.with_buffer(jnp.asarray(buf))
         top1, top5 = infer(net, params, data, batch_size=args.batch_size)
         randinit[name] = {'top1': top1, 'top5': top5}
         log(f'randinit {name}: top1={top1:.2f}')
