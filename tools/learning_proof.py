@@ -80,21 +80,59 @@ def main():
         suite[f'{args.split}_{i}'] = (g, net)
     log(f'{len(suite)} held-out {args.split} architectures from {args.nets_dir}')
 
-    t0 = time.time()
-    predicted = eval_suite(ghn, suite, data, args.batch_size, 'predicted')
-    log(f'predicted-params eval done in {time.time() - t0:.1f}s')
+    # Crash resume: each completed arm is persisted to <json>.partial so a
+    # killed run (remote-TPU tunnels drop; sessions get recycled) picks up
+    # where it left off instead of redoing ~30 min of eval.
+    part_path = args.json + '.partial'
+    part_key = {'ckpt': args.ckpt, 'split': args.split,
+                'num_nets': args.num_nets, 'nets_dir': args.nets_dir}
+    part = {'key': part_key}
+    if os.path.exists(part_path):
+        try:
+            with open(part_path) as f:
+                prev = json.load(f)
+            if prev.get('key') == part_key:
+                part = prev
+                log(f'resuming from {part_path} '
+                    f'(arms done: {sorted(set(part) - {"key"})})')
+        except (json.JSONDecodeError, OSError):
+            pass
+
+    def save_part():
+        os.makedirs(os.path.dirname(part_path) or '.', exist_ok=True)
+        tmp = part_path + '.tmp'
+        with open(tmp, 'w') as f:
+            json.dump(part, f)
+        os.replace(tmp, part_path)
+
+    if 'predicted' in part:
+        predicted = part['predicted']
+    else:
+        t0 = time.time()
+        predicted = eval_suite(ghn, suite, data, args.batch_size, 'predicted')
+        log(f'predicted-params eval done in {time.time() - t0:.1f}s')
+        part['predicted'] = predicted
+        save_part()
 
     # control: identical GHN config, fresh random weights
-    ghn0 = GHN3(ghn.config, seed=123456)
-    untrained = eval_suite(ghn0, suite, data, args.batch_size, 'untrained-ghn')
+    if 'untrained' in part:
+        untrained = part['untrained']
+    else:
+        ghn0 = GHN3(ghn.config, seed=123456)
+        untrained = eval_suite(ghn0, suite, data, args.batch_size,
+                               'untrained-ghn')
+        part['untrained'] = untrained
+        save_part()
 
     # baseline: standard He init per architecture. The He values ride the
     # predicted arm's PackedParams view (same buffer spec), so each net's
     # eval reuses the ALREADY-COMPILED packed forward program instead of
     # compiling a fresh dict-params program per arch (~1 min/arch saved on
     # remote-attached TPUs).
-    randinit = {}
+    randinit = part.get('randinit', {})
     for j, (name, (_g, net)) in enumerate(suite.items()):
+        if name in randinit:
+            continue
         params = he_init_params(net, seed=1000 + j)
         view = getattr(net, 'predicted', None)
         if view is not None and set(view.keys()) == set(params.keys()):
@@ -106,6 +144,8 @@ def main():
         top1, top5 = infer(net, params, data, batch_size=args.batch_size)
         randinit[name] = {'top1': top1, 'top5': top5}
         log(f'randinit {name}: top1={top1:.2f}')
+        part['randinit'] = randinit
+        save_part()
 
     rows = []
     for name in suite:
@@ -134,6 +174,8 @@ def main():
     os.makedirs(os.path.dirname(args.json) or '.', exist_ok=True)
     with open(args.json, 'w') as f:
         json.dump(summary, f, indent=1)
+    if os.path.exists(part_path):
+        os.remove(part_path)
     log(json.dumps({k: v for k, v in summary.items() if k != 'rows'}, indent=1))
 
     if args.out:
