@@ -4,6 +4,7 @@ SURVEY §3.4)."""
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Dict, List, Optional, Tuple
 
@@ -80,12 +81,18 @@ def he_init_params(model, seed: int = 0) -> dict:
 
 
 def chunk_by_params(graphs: Dict[str, object], tables: Dict[str, object],
-                    budget: float = 150e6) -> List[List[str]]:
+                    budget: Optional[float] = None) -> List[List[str]]:
     """Node-count-sorted chunks bounded by predicted-parameter budget. One
     packed predict program per chunk: 150M params/chunk keeps every program
     under the 16 GB v5e HBM (measured in bench.py; larger fused programs
     spill, 450M -> 3x slower). Shared by bench.py and the eval sweep so both
-    compile the SAME programs (persistent-cache hits)."""
+    compile the SAME programs (persistent-cache hits).
+
+    ``GHN3_CHUNK_BUDGET`` overrides the default — smaller chunks compile
+    faster and checkpoint finer on time-boxed remote-TPU sessions (the wide
+    OOD split's 4x-widened nets push single-chunk compile past 10 min)."""
+    if budget is None:
+        budget = float(os.environ.get('GHN3_CHUNK_BUDGET', 150e6))
     names = sorted(graphs, key=lambda n: graphs[n].n_nodes)
     count = {n: sum(int(np.prod(r.sz)) for cell in tables[n]
                     for r in cell.values()) for n in names}
@@ -104,7 +111,8 @@ def chunk_by_params(graphs: Dict[str, object], tables: Dict[str, object],
 def predict_and_eval_suite(ghn, suite: Dict[str, tuple], data=None, batch_size: int = 64,
                            max_batches: Optional[int] = None, norm_tol: float = 1e-2,
                            metadata_name: Optional[str] = None,
-                           data_by_imsize: Optional[Dict[int, object]] = None) -> List[dict]:
+                           data_by_imsize: Optional[Dict[int, object]] = None,
+                           on_row=None, skip=None) -> List[dict]:
     """Predict parameters for a suite of (torch graph source, functional twin)
     pairs, run norm checks and optionally top-1/top-5 eval.
 
@@ -112,6 +120,15 @@ def predict_and_eval_suite(ghn, suite: Dict[str, tuple], data=None, batch_size: 
     :param data_by_imsize: optional {imsize: DataSource} overrides; a net whose
         ``expected_input_sz`` matches a key evaluates on that loader (the
         reference builds a separate 299px loader for Inception, eval_ghn.py)
+    :param on_row: optional callback invoked with each completed row — lets
+        long sweeps on remote-attached TPUs persist partial progress
+        (tools/learning_proof.py resumes per architecture)
+    :param skip: arch names already evaluated by a previous (killed) run.
+        Chunking always covers the FULL suite so the packed predict programs
+        stay byte-identical to the first pass (persistent-cache hits); a
+        chunk whose archs are all in ``skip`` is not predicted at all, and
+        per-arch eval (the compile-per-architecture cost that dominates on a
+        tunnel-attached chip) runs only for the remainder
     """
     from .graph.graphdef import GraphBatch
     from .predict import predict_packed
@@ -122,8 +139,11 @@ def predict_and_eval_suite(ghn, suite: Dict[str, tuple], data=None, batch_size: 
     all_tables = {name: suite[name][1].param_table() for name in suite}
     chunks = chunk_by_params(graphs, all_tables)
 
+    skip = skip or set()
     results = []
     for names in chunks:
+        if all(n in skip for n in names):
+            continue
         batch = GraphBatch.from_graphs([graphs[n] for n in names])
         tables = [all_tables[n] for n in names]
         t0 = time.time()
@@ -139,6 +159,8 @@ def predict_and_eval_suite(ghn, suite: Dict[str, tuple], data=None, batch_size: 
         for name, view in zip(names, views):
             net = suite[name][1]
             net.predicted = view
+            if name in skip:
+                continue
             row = {'arch': name, 'n_nodes': graphs[name].n_nodes,
                    'predict_sec': t_predict / len(names),
                    'n_tensors': len(view)}
@@ -163,6 +185,8 @@ def predict_and_eval_suite(ghn, suite: Dict[str, tuple], data=None, batch_size: 
                 row['top1'], row['top5'] = top1, top5
             results.append(row)
             log(' | '.join(f'{k}={v}' for k, v in row.items()))
+            if on_row is not None:
+                on_row(row)
     return results
 
 

@@ -34,10 +34,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def eval_suite(ghn, suite, data, batch_size, label):
+def eval_suite(ghn, suite, data, batch_size, label, part=None, save_part=None):
+    """Evaluate an arm with per-architecture crash resume: each completed row
+    lands in ``part['<label>_rows']`` immediately, so a killed run (remote-TPU
+    tunnel drops, session recycling, per-split timeouts) re-evaluates only the
+    remaining architectures. The FULL suite is always passed down so the
+    packed predict programs keep their first-pass chunk shapes (persistent
+    compile-cache hits); only the per-arch eval work is skipped."""
     from ghn3_tpu.evaluate import predict_and_eval_suite
-    rows = predict_and_eval_suite(ghn, suite, data=data, batch_size=batch_size)
-    return {r['arch']: r for r in rows}
+    from ghn3_tpu.utils.logging import log
+
+    done = dict(part.get(label + '_rows', {})) if part is not None else {}
+    if done and len(done) < len(suite):
+        log(f'{label}: resuming, {len(done)}/{len(suite)} archs already done')
+
+    def on_row(row):
+        done[row['arch']] = row
+        if part is not None:
+            part[label + '_rows'] = done
+            save_part()
+
+    if len(done) < len(suite):
+        predict_and_eval_suite(ghn, suite, data=data, batch_size=batch_size,
+                               on_row=on_row, skip=set(done))
+    return done
 
 
 def main():
@@ -105,11 +125,12 @@ def main():
             json.dump(part, f)
         os.replace(tmp, part_path)
 
-    if 'predicted' in part:
+    if 'predicted' in part:  # whole-arm entry from a pre-chunk-resume run
         predicted = part['predicted']
     else:
         t0 = time.time()
-        predicted = eval_suite(ghn, suite, data, args.batch_size, 'predicted')
+        predicted = eval_suite(ghn, suite, data, args.batch_size, 'predicted',
+                               part=part, save_part=save_part)
         log(f'predicted-params eval done in {time.time() - t0:.1f}s')
         part['predicted'] = predicted
         save_part()
@@ -120,7 +141,7 @@ def main():
     else:
         ghn0 = GHN3(ghn.config, seed=123456)
         untrained = eval_suite(ghn0, suite, data, args.batch_size,
-                               'untrained-ghn')
+                               'untrained', part=part, save_part=save_part)
         part['untrained'] = untrained
         save_part()
 
