@@ -47,6 +47,38 @@ def test_suite_runner_and_infer():
         assert 0.0 <= row['top1'] <= 100.0
 
 
+def test_suite_runner_per_arch_resume():
+    """on_row fires per completed architecture; skip re-predicts the chunk
+    (same program shapes as the first pass) but only evaluates the remainder —
+    the crash-resume contract tools/learning_proof.py relies on."""
+    ghn = GHN3(CFG, seed=0)
+    nets = {'a': ConvNet(channels=(8, 16)), 'b': ConvNet(channels=(8, 8, 16)),
+            'c': ConvNet(channels=(8,))}
+    suite = {k: (n.graph_def(), n) for k, n in nets.items()}
+    data = SyntheticImages(num_examples=64, num_classes=10, imsize=8)
+
+    seen = []
+    rows = predict_and_eval_suite(ghn, suite, data=data, batch_size=16,
+                                  max_batches=2, on_row=seen.append)
+    assert [r['arch'] for r in seen] == [r['arch'] for r in rows]
+    assert len(rows) == 3
+
+    # resume: two archs already done -> only the third is (re-)evaluated,
+    # with numerics identical to the full pass
+    done = {r['arch'] for r in rows[:2]}
+    resumed = predict_and_eval_suite(ghn, suite, data=data, batch_size=16,
+                                     max_batches=2, skip=done)
+    assert [r['arch'] for r in resumed] == [r['arch'] for r in rows[2:]]
+    np.testing.assert_allclose(resumed[0]['paramnorm'], rows[2]['paramnorm'],
+                               rtol=1e-6)
+    assert resumed[0]['top1'] == rows[2]['top1']
+
+    # all done -> no chunk is predicted at all
+    assert predict_and_eval_suite(ghn, suite, data=data, batch_size=16,
+                                  max_batches=2,
+                                  skip={r['arch'] for r in rows}) == []
+
+
 def test_infer_with_dict_params():
     net = ConvNet(channels=(8,))
     params = net.init_params(jax.random.PRNGKey(0))
