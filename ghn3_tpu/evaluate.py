@@ -190,6 +190,133 @@ def predict_and_eval_suite(ghn, suite: Dict[str, tuple], data=None, batch_size: 
     return results
 
 
+def eval_suite_buffered(cfg, suite: Dict[str, tuple], params_of, data,
+                        batch_size: int = 128, num_classes: int = 10,
+                        is_imagenet_input: bool = False, input_size: int = 32,
+                        vocab=None, skip=None, on_row=None,
+                        seed: int = 0) -> Dict[str, dict]:
+    """Batched top-1/top-5 eval of arbitrary parameter values over a genotype
+    suite, through the interpreter's buffer-backed bucket programs.
+
+    The reference evaluates DeepNets-1M splits one architecture at a time
+    (eval_ghn.py:94-126); on TPU a per-architecture program is a compile each
+    (~minutes through a remote tunnel), which made full 32-arch x 3-arm OOD
+    sweeps take hours. Here architectures are grouped by static ArchBucket and
+    each group runs ONE compiled program per image-batch shape, with both the
+    architecture wiring AND the parameter values streaming through as data
+    (nets/interpreter.py BufferFetcher). Nets the interpreter cannot encode
+    fall back to the per-arch functional path.
+
+    :param params_of: callable(name) -> {param_name: array} at TRUE shapes
+        (He init, a converted predicted view, fine-tuned weights, ...).
+    :param suite: {name: (GraphDef, functional_net)} as in predict_and_eval_suite.
+    :returns: {name: {'top1': float, 'top5': float}}
+    """
+    from .nets.interpreter import (BufferFetcher, EncodeError, bucket_of,
+                                   interpret_forward, pack_net_params,
+                                   vocab_from_genotypes)
+    from .parallel.meta_executor import build_interp_batch
+
+    skip = skip or set()
+    if vocab is None:
+        vocab = vocab_from_genotypes([g.net_args['genotype']
+                                      for g, _net in suite.values()])
+    groups: Dict[object, List[str]] = {}
+    fallback: List[str] = []
+    for name, (g, _net) in suite.items():
+        try:
+            b = bucket_of(g.net_args, num_classes, is_imagenet_input,
+                          vocab=vocab, input_size=input_size)
+            groups.setdefault(b, []).append(name)
+        except (EncodeError, NotImplementedError, AssertionError, KeyError):
+            fallback.append(name)
+
+    results: Dict[str, dict] = {}
+
+    def emit(name, top1, top5):
+        row = {'arch': name, 'top1': top1, 'top5': top5}
+        results[name] = {'top1': top1, 'top5': top5}
+        log(f'buffered eval {name}: top1={top1:.2f} top5={top5:.2f}')
+        if on_row is not None:
+            on_row(row)
+
+    for bucket, names in groups.items():
+        if all(n in skip for n in names):
+            continue
+        graphs = [suite[n][0] for n in names]
+        try:
+            ib = build_interp_batch(cfg, graphs, num_classes=num_classes,
+                                    is_imagenet_input=is_imagenet_input,
+                                    vocab=vocab, input_size=input_size)
+            packs = [pack_net_params(g, ib.bucket, params_of(n))
+                     for n, g in zip(names, graphs)]
+        except (EncodeError, ValueError, KeyError, NotImplementedError) as e:
+            log(f'bucket group {names} falls back to per-arch eval: {e!r}')
+            fallback.extend(n for n in names if n not in skip)
+            continue
+        from .nets.interpreter import max_fetch_elems
+        # every switch branch's dynamic_slice is traced with a static size, so
+        # the buffer must fit the largest read any branch could issue
+        buf_len = max(max(p[1].size for p in packs),
+                      max_fetch_elems(ib.bucket))
+        bufs = np.zeros((len(names), buf_len), np.float32)
+        noffs = np.zeros((len(names), ib.batch.n_pad), np.int32)
+        for i, (off, buf) in enumerate(packs):
+            bufs[i, :buf.size] = buf
+            noffs[i, :off.size] = off
+        bufs = jnp.asarray(bufs)
+        noffs = jnp.asarray(noffs)
+        arch = {k: jnp.asarray(v) for k, v in ib.arch.items()}
+        bkt = ib.bucket
+
+        @jax.jit
+        def logits_fn(bufs, noffs, arch, images, _bkt=bkt):
+            def per_net(carry, xs):
+                buf, noff, arch_b = xs
+                fe = BufferFetcher(cfg, buf, noff)
+                logits, _ = interpret_forward(None, cfg, _bkt, None, arch_b,
+                                              images, fetcher=fe)
+                return carry, logits
+            _, out = jax.lax.scan(per_net, jnp.float32(0.0),
+                                  (bufs, noffs, arch))
+            return out            # (B_meta, B, num_classes)
+
+        top1 = np.zeros(len(names))
+        top5 = np.zeros(len(names))
+        n_img = 0
+        for images, labels in data.batches(batch_size, train=False, seed=seed):
+            lg = np.asarray(_retry_transient(
+                lambda: logits_fn(bufs, noffs, arch, jnp.asarray(images))))
+            top = np.argsort(lg, axis=-1)[..., ::-1][..., :5]
+            hits = top == labels[None, :, None]
+            top1 += hits[..., :1].any(-1).sum(-1)
+            top5 += hits.any(-1).sum(-1)
+            n_img += len(labels)
+        for i, name in enumerate(names):
+            if name in skip:
+                continue
+            emit(name, 100.0 * top1[i] / max(1, n_img),
+                 100.0 * top5[i] / max(1, n_img))
+
+    for name in fallback:
+        if name in skip:
+            continue
+        net = suite[name][1]
+        t1, t5 = infer(net, params_of(name), data, batch_size=batch_size,
+                       seed=seed)
+        emit(name, t1, t5)
+    return results
+
+
+def params_dict_from_view(view, packed_np: Optional[np.ndarray] = None) -> dict:
+    """PackedParams view -> {name: np.ndarray} at true shapes (one host fetch
+    of the shared chunk buffer serves every view that references it)."""
+    if packed_np is None:
+        packed_np = np.asarray(jax.device_get(view.buffer))
+    return {name: packed_np[off:off + int(np.prod(shape))].reshape(shape)
+            for name, (off, shape) in view.spec.items()}
+
+
 def adjust_net_f(net, large_input: bool = False):
     """Small-image surgery for functional twins — the JAX side of
     torch_interop.adjust_net (reference eval_ghn.py:145): first strided conv

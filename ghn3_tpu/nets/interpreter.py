@@ -1029,18 +1029,183 @@ def _run_cell(fe: _Fetcher, bucket: ArchBucket, geom: CellGeom, arch, s0, s1,
     return out, predwd
 
 
+class BufferFetcher(_Fetcher):
+    """Reads target-net parameters from a flat packed buffer instead of
+    decoding them from GHN node embeddings.
+
+    This evaluates ARBITRARY parameter values — He init, fine-tuned weights,
+    a predicted-parameter view — through the same bucket program shape the
+    interpreter compiles, so a whole eval arm (e.g. the randinit baseline of
+    the learning proof, reference ghn3_results.json `randinit-*` columns)
+    rides ONE compiled program per bucket with the architecture AND the
+    parameter values as data, instead of one XLA program per architecture.
+
+    Layout contract (produced by :func:`pack_net_params`): each param-bearing
+    graph node owns a contiguous slice starting at ``node_off[node]`` holding
+    its tensor at the PADDED program shape (norm nodes: weight then bias,
+    each padded), true values at the leading corner and exact zeros beyond —
+    identical to what the width-folded decode path's masking computes, so the
+    folded program is reproduced bit-for-bit from stored values.
+    """
+
+    def __init__(self, cfg: GHNConfig, buffer, node_off):
+        self.params = None
+        self.cfg = cfg
+        self.x_flat = None
+        self.weight_norm = False     # stored values are final
+        self.compute_dtype = jnp.dtype(cfg.dtype)
+        self.buffer = buffer
+        self.node_off = node_off
+
+    def _read(self, node_id, numel: int):
+        off = jax.lax.dynamic_index_in_dim(self.node_off, node_id, 0,
+                                           keepdims=False)
+        return jax.lax.dynamic_slice(self.buffer, (off,), (numel,))
+
+    # static-shape fetchers ------------------------------------------------
+    def w(self, node_id, sz):
+        w = self._read(node_id, int(np.prod(sz))).reshape(sz)
+        return _saved(self.cast(w)), _frob(w)
+
+    def pair(self, node_id, sz):
+        z = self._read(node_id, 2 * int(sz[0])).reshape(2, int(sz[0]))
+        return _saved(z[0]), _saved(z[1]), _frob(z[0]) + _frob(z[1])
+
+    def bias(self, node_id, sz):
+        b = self._read(node_id, int(sz[0]))
+        return _saved(self.cast(b)), _frob(b)
+
+    cls_w = w
+    cls_b = bias
+
+    # width-folded fetchers: the buffer already holds the padded, masked
+    # layout, so the true-dim arguments are ignored ------------------------
+    def w_dyn(self, node_id, pad_sz, t0, t1, fan_in_true):
+        return self.w(node_id, tuple(pad_sz))
+
+    def pair_dyn(self, node_id, pad, t):
+        return self.pair(node_id, (int(pad),))
+
+    def bias_dyn(self, node_id, pad, t):
+        return self.bias(node_id, (int(pad),))
+
+    def cls_w_dyn(self, node_id, pad_sz, t_in, fan_in_true):
+        return self.w(node_id, tuple(pad_sz))
+
+
+def max_fetch_elems(bucket: ArchBucket) -> int:
+    """Largest single buffer read ANY branch of the bucket's program can issue.
+
+    lax.switch traces every branch, and dynamic_slice sizes are static — so a
+    BufferFetcher's buffer must be at least this long even when the genotype
+    never selects the big-read branches. pack callers pad buffers up to this."""
+    geoms = cell_geometry(bucket)
+    mx = 1
+
+    def upd(specs):
+        nonlocal mx
+        for kind, _n, sz in specs:
+            n = int(np.prod(sz))
+            mx = max(mx, 2 * n if kind == 'pair' else n)
+
+    for sz in target_param_shapes(bucket).values():
+        n = int(np.prod(sz))
+        mx = max(mx, 2 * n if len(sz) == 1 else n)
+    for c in {g.c for g in geoms}:
+        for base, k in bucket.vocab:
+            if base == 'skip_connect' and not bucket.is_vit:
+                upd(op_param_specs('skip_reduce', k, c, c, bucket.has_norm))
+            upd(op_param_specs(base, k, c, c, bucket.has_norm))
+    feat = head_features(bucket, geoms)
+    dims = ([feat] + [bucket.fc_dim] * max(0, bucket.fc_layers - 1)
+            + [bucket.num_classes]) if bucket.fc_layers > 1 \
+        else [feat, bucket.num_classes]
+    for i in range(len(dims) - 1):
+        mx = max(mx, dims[i] * dims[i + 1])
+    return mx
+
+
+_PARAM_OPS = ('conv', 'sep_conv', 'dil_conv', 'bn', 'ln', 'bias', 'pos_enc')
+
+
+def pack_net_params(graph: GraphDef, bucket: ArchBucket,
+                    params: Dict[str, np.ndarray],
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side: lay a name->tensor dict out as the (node_off, buffer) pair a
+    :class:`BufferFetcher` reads.
+
+    Padded program shapes come from the same tables the encoder uses
+    (:func:`target_param_shapes` + :func:`fill_slot_shapes` on the folded
+    bucket); true tensors are embedded at the leading corner with exact zeros
+    beyond — the masked layout the width-folded decode path computes. Works
+    because the folded program keeps all live data in leading channel
+    prefixes everywhere (cell outputs are compacted), and flatten heads are
+    channel-major so true classifier columns are a leading prefix too.
+
+    :param params: name -> array at TRUE shapes (e.g. evaluate.he_init_params
+        output, or a predicted PackedParams view converted to a dict).
+    :return: (node_off int32 [n_nodes], buffer float32 [L]).
+    """
+    assert graph.net_args is not None and 'genotype' in graph.net_args
+    shapes_pad = fill_slot_shapes(bucket, graph.net_args['genotype'],
+                                  target_param_shapes(bucket))
+
+    def embed(a, pad_sz) -> np.ndarray:
+        a = np.asarray(a, np.float32)
+        pad_sz = tuple(int(v) for v in pad_sz)
+        if a.shape == pad_sz:
+            return a.ravel()
+        if len(a.shape) != len(pad_sz) or any(
+                s > p for s, p in zip(a.shape, pad_sz)):
+            raise ValueError(f'true shape {a.shape} does not embed in padded '
+                             f'{pad_sz}')
+        out = np.zeros(pad_sz, np.float32)
+        out[tuple(slice(0, s) for s in a.shape)] = a
+        return out.ravel()
+
+    offs = np.zeros((graph.n_nodes,), np.int32)
+    chunks: List[np.ndarray] = []
+    cur = 0
+    for cell_rows in graph.node_info:
+        for row in cell_rows:
+            name = row.param_name
+            if not name or row.op not in _PARAM_OPS:
+                continue
+            if name not in shapes_pad:
+                raise KeyError(f'no padded program shape for {name!r}')
+            pad_sz = shapes_pad[name]
+            if row.op in ('bn', 'ln'):
+                b_name = name[:-len('.weight')] + '.bias'
+                vec = np.concatenate([embed(params[name], (pad_sz[0],)),
+                                      embed(params[b_name], (pad_sz[0],))])
+            else:
+                vec = embed(params[name], pad_sz)
+            offs[row.node_ind] = cur
+            chunks.append(vec)
+            cur += vec.size
+    buffer = (np.concatenate(chunks) if chunks
+              else np.zeros((1,), np.float32))
+    return offs, buffer
+
+
 def interpret_forward(params, cfg: GHNConfig, bucket: ArchBucket,
                       x_flat: jnp.ndarray, arch: Dict[str, jnp.ndarray],
                       images: jnp.ndarray,
-                      weight_norm: Optional[bool] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                      weight_norm: Optional[bool] = None,
+                      fetcher: Optional[_Fetcher] = None,
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Decode + execute one architecture in a single traceable program.
 
-    :param x_flat: (N_pad, hid) graphormer node embeddings of this net's graph.
+    :param x_flat: (N_pad, hid) graphormer node embeddings of this net's graph
+        (unused when ``fetcher`` is given).
     :param arch: integer arch-data arrays from :func:`encode_arch`.
+    :param fetcher: optional parameter source overriding the GHN decode —
+        e.g. a :class:`BufferFetcher` evaluating stored parameter values.
     :return: (logits (B, num_classes), predwd scalar = sum of Frobenius norms).
     """
     weight_norm = cfg.weight_norm if weight_norm is None else weight_norm
-    fe = _Fetcher(params, cfg, x_flat, weight_norm)
+    fe = fetcher if fetcher is not None else _Fetcher(params, cfg, x_flat,
+                                                      weight_norm)
     geoms = cell_geometry(bucket)
 
     folded = bucket.c_folded or bucket.fc_folded or bucket.sm_folded
