@@ -161,8 +161,11 @@ def predict_and_eval_suite(ghn, suite: Dict[str, tuple], data=None, batch_size: 
             net.predicted = view
             if name in skip:
                 continue
+            # amortize chunk predict time over the archs actually predicted
+            # fresh this pass, so resumed rows don't under-report it
             row = {'arch': name, 'n_nodes': graphs[name].n_nodes,
-                   'predict_sec': t_predict / len(names),
+                   'predict_sec': t_predict / max(
+                       1, sum(1 for n in names if n not in skip)),
                    'n_tensors': len(view)}
             norms = [np.linalg.norm(packed_np[o:o + int(np.prod(s))])
                      for o, s in view.spec.values()]

@@ -15,15 +15,24 @@ This is the reference framework's entire value proposition
   python tools/learning_proof.py --ckpt checkpoints/learning_proof/checkpoint.npz \\
       --nets_dir ./data/dn1m_digits --out RESULTS.md
 
-For each held-out val architecture (NEVER seen during meta-training) it
-evaluates digits-test top-1 under three parameter sources:
+For each held-out architecture (NEVER seen during meta-training) it evaluates
+digits-test top-1 under three parameter sources:
 
   predicted   — the trained GHN's forward pass (one shot, no target training)
   untrained   — an identically-configured GHN with fresh random weights
                 (controls for any accuracy a random GHN mapping provides)
   randinit    — standard He initialization (the papers' baseline)
+
+All three arms ride the buffer-backed interpreter programs
+(evaluate.eval_suite_buffered): ONE compiled program per ArchBucket with the
+architecture wiring AND the parameter values as data, so a 32-arch x 3-arm
+split costs a handful of compiles instead of ~100 per-architecture programs
+(the per-arch loops made round-3 OOD sweeps take hours through the tunnel).
+Parameter prediction itself goes through the chunked packed path shared with
+bench.py (persistent-cache hits), which also yields the paramnorm rows.
 """
 import argparse
+import hashlib
 import json
 import os
 import sys
@@ -34,29 +43,58 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def eval_suite(ghn, suite, data, batch_size, label, part=None, save_part=None):
-    """Evaluate an arm with per-architecture crash resume: each completed row
+def _file_fingerprint(path: str) -> str:
+    """Content hash of a checkpoint file, so resume partials can never merge
+    rows computed with different weights at the same path."""
+    h = hashlib.sha256()
+    with open(path, 'rb') as f:
+        for chunk in iter(lambda: f.read(1 << 20), b''):
+            h.update(chunk)
+    return h.hexdigest()[:16]
+
+
+def view_params_factory(suite):
+    """name -> {param_name: np.ndarray} from the predicted PackedParams views
+    set by predict_and_eval_suite; one host fetch per shared chunk buffer."""
+    import jax
+
+    from ghn3_tpu.evaluate import params_dict_from_view
+    cache = {}
+
+    def params_of(name):
+        view = suite[name][1].predicted
+        key = id(view.buffer)
+        if key not in cache:
+            cache[key] = np.asarray(jax.device_get(view.buffer))
+        return params_dict_from_view(view, cache[key])
+    return params_of
+
+
+def eval_arm(label, cfg, suite, params_of, data, batch_size, part, save_part):
+    """Evaluate one arm with per-architecture crash resume: each completed row
     lands in ``part['<label>_rows']`` immediately, so a killed run (remote-TPU
     tunnel drops, session recycling, per-split timeouts) re-evaluates only the
-    remaining architectures. The FULL suite is always passed down so the
-    packed predict programs keep their first-pass chunk shapes (persistent
-    compile-cache hits); only the per-arch eval work is skipped."""
-    from ghn3_tpu.evaluate import predict_and_eval_suite
+    remaining architectures."""
+    from ghn3_tpu.evaluate import eval_suite_buffered
     from ghn3_tpu.utils.logging import log
 
-    done = dict(part.get(label + '_rows', {})) if part is not None else {}
+    done = dict(part.get(label + '_rows', {}))
     if done and len(done) < len(suite):
         log(f'{label}: resuming, {len(done)}/{len(suite)} archs already done')
 
     def on_row(row):
         done[row['arch']] = row
-        if part is not None:
-            part[label + '_rows'] = done
-            save_part()
+        part[label + '_rows'] = done
+        save_part()
 
     if len(done) < len(suite):
-        predict_and_eval_suite(ghn, suite, data=data, batch_size=batch_size,
-                               on_row=on_row, skip=set(done))
+        t0 = time.time()
+        eval_suite_buffered(cfg, suite, params_of, data, batch_size=batch_size,
+                            num_classes=data.num_classes, skip=set(done),
+                            on_row=on_row)
+        log(f'{label} arm done in {time.time() - t0:.1f}s')
+    part[label + '_rows'] = done
+    save_part()
     return done
 
 
@@ -77,14 +115,14 @@ def main():
         import jax
         jax.config.update('jax_platforms', args.platform)
 
-    import jax.numpy as jnp
-
     from ghn3_tpu import GHN3
     from ghn3_tpu.data.deepnets1m import DeepNets1M
     from ghn3_tpu.data.images import image_loader
-    from ghn3_tpu.evaluate import he_init_params, infer
+    from ghn3_tpu.evaluate import he_init_params, predict_and_eval_suite
     from ghn3_tpu.nets.darts import Network
+    from ghn3_tpu.utils.cache import enable_persistent_cache
     from ghn3_tpu.utils.logging import log
+    enable_persistent_cache()
 
     ghn = GHN3.from_pretrained(args.ckpt)
     log(f'loaded GHN ({ghn.num_params()} params): {ghn.config}')
@@ -100,12 +138,15 @@ def main():
         suite[f'{args.split}_{i}'] = (g, net)
     log(f'{len(suite)} held-out {args.split} architectures from {args.nets_dir}')
 
-    # Crash resume: each completed arm is persisted to <json>.partial so a
-    # killed run (remote-TPU tunnels drop; sessions get recycled) picks up
-    # where it left off instead of redoing ~30 min of eval.
+    # Crash resume: each completed row is persisted to <json>.partial so a
+    # killed run picks up where it left off. The key includes the checkpoint
+    # CONTENT hash and the dataset, so re-training at the same path (or a
+    # dataset switch) can never silently merge stale rows into fresh results.
     part_path = args.json + '.partial'
-    part_key = {'ckpt': args.ckpt, 'split': args.split,
-                'num_nets': args.num_nets, 'nets_dir': args.nets_dir}
+    part_key = {'ckpt': args.ckpt, 'ckpt_sha': _file_fingerprint(args.ckpt),
+                'dataset': args.dataset, 'split': args.split,
+                'num_nets': args.num_nets, 'nets_dir': args.nets_dir,
+                'arms': 'buffered-v2'}
     part = {'key': part_key}
     if os.path.exists(part_path):
         try:
@@ -114,7 +155,10 @@ def main():
             if prev.get('key') == part_key:
                 part = prev
                 log(f'resuming from {part_path} '
-                    f'(arms done: {sorted(set(part) - {"key"})})')
+                    f'(arms done: {sorted(k for k in part if k.endswith("_rows"))})')
+            else:
+                log(f'{part_path} key mismatch (stale checkpoint/dataset?) — '
+                    f'starting fresh')
         except (json.JSONDecodeError, OSError):
             pass
 
@@ -125,55 +169,35 @@ def main():
             json.dump(part, f)
         os.replace(tmp, part_path)
 
-    if 'predicted' in part:  # whole-arm entry from a pre-chunk-resume run
-        predicted = part['predicted']
-    else:
-        t0 = time.time()
-        predicted = eval_suite(ghn, suite, data, args.batch_size, 'predicted',
-                               part=part, save_part=save_part)
-        log(f'predicted-params eval done in {time.time() - t0:.1f}s')
-        part['predicted'] = predicted
-        save_part()
+    # ---- predict with the trained GHN (chunked packed path; also the
+    # paramnorm/n_nodes metadata source). Re-predicting on resume is cheap
+    # (sub-second on chip through the persistent compile cache).
+    t0 = time.time()
+    meta_rows = {r['arch']: r for r in
+                 predict_and_eval_suite(ghn, suite, data=None)}
+    log(f'predicted params for {len(suite)} archs in {time.time() - t0:.1f}s')
+    predicted = eval_arm('predicted', ghn.config, suite, view_params_factory(suite),
+                         data, args.batch_size, part, save_part)
 
-    # control: identical GHN config, fresh random weights
-    if 'untrained' in part:
-        untrained = part['untrained']
-    else:
-        ghn0 = GHN3(ghn.config, seed=123456)
-        untrained = eval_suite(ghn0, suite, data, args.batch_size,
-                               'untrained', part=part, save_part=save_part)
-        part['untrained'] = untrained
-        save_part()
+    # ---- control: identical GHN config, fresh random weights
+    ghn0 = GHN3(ghn.config, seed=123456)
+    predict_and_eval_suite(ghn0, suite, data=None)   # overwrite .predicted views
+    untrained = eval_arm('untrained', ghn.config, suite, view_params_factory(suite),
+                         data, args.batch_size, part, save_part)
 
-    # baseline: standard He init per architecture. The He values ride the
-    # predicted arm's PackedParams view (same buffer spec), so each net's
-    # eval reuses the ALREADY-COMPILED packed forward program instead of
-    # compiling a fresh dict-params program per arch (~1 min/arch saved on
-    # remote-attached TPUs).
-    randinit = part.get('randinit', {})
-    for j, (name, (_g, net)) in enumerate(suite.items()):
-        if name in randinit:
-            continue
-        params = he_init_params(net, seed=1000 + j)
-        view = getattr(net, 'predicted', None)
-        if view is not None and set(view.keys()) == set(params.keys()):
-            buf = np.zeros(view.buffer.shape, dtype=np.float32)
-            for pname, (off, shape) in view.spec.items():
-                buf[off:off + int(np.prod(shape))] = \
-                    np.asarray(params[pname], dtype=np.float32).ravel()
-            params = view.with_buffer(jnp.asarray(buf))
-        top1, top5 = infer(net, params, data, batch_size=args.batch_size)
-        randinit[name] = {'top1': top1, 'top5': top5}
-        log(f'randinit {name}: top1={top1:.2f}')
-        part['randinit'] = randinit
-        save_part()
+    # ---- baseline: standard He init per architecture
+    he = {name: {k: np.asarray(v) for k, v in
+                 he_init_params(net, seed=1000 + j).items()}
+          for j, (name, (_g, net)) in enumerate(suite.items())}
+    randinit = eval_arm('randinit', ghn.config, suite, lambda n: he[n],
+                        data, args.batch_size, part, save_part)
 
     rows = []
     for name in suite:
         rows.append({
             'arch': name,
-            'n_nodes': predicted[name]['n_nodes'],
-            'paramnorm': predicted[name]['paramnorm'],
+            'n_nodes': meta_rows[name]['n_nodes'],
+            'paramnorm': meta_rows[name]['paramnorm'],
             'top1_predicted': predicted[name]['top1'],
             'top1_untrained_ghn': untrained[name]['top1'],
             'top1_randinit': randinit[name]['top1'],
@@ -181,6 +205,7 @@ def main():
         })
     summary = {
         'ckpt': args.ckpt,
+        'ckpt_sha': part_key['ckpt_sha'],
         'dataset': args.dataset,
         'split': args.split,
         'n_archs': len(rows),
