@@ -215,26 +215,8 @@ def eval_suite_buffered(cfg, suite: Dict[str, tuple], params_of, data,
     :param suite: {name: (GraphDef, functional_net)} as in predict_and_eval_suite.
     :returns: {name: {'top1': float, 'top5': float}}
     """
-    from .nets.interpreter import (BufferFetcher, EncodeError, bucket_of,
-                                   interpret_forward, pack_net_params,
-                                   vocab_from_genotypes)
-    from .parallel.meta_executor import build_interp_batch
-
-    skip = skip or set()
-    if vocab is None:
-        vocab = vocab_from_genotypes([g.net_args['genotype']
-                                      for g, _net in suite.values()])
-    groups: Dict[object, List[str]] = {}
-    fallback: List[str] = []
-    for name, (g, _net) in suite.items():
-        try:
-            b = bucket_of(g.net_args, num_classes, is_imagenet_input,
-                          vocab=vocab, input_size=input_size)
-            groups.setdefault(b, []).append(name)
-        except (EncodeError, NotImplementedError, AssertionError, KeyError):
-            fallback.append(name)
-
     results: Dict[str, dict] = {}
+    skip = skip or set()
 
     def emit(name, top1, top5):
         row = {'arch': name, 'top1': top1, 'top5': top5}
@@ -243,59 +225,24 @@ def eval_suite_buffered(cfg, suite: Dict[str, tuple], params_of, data,
         if on_row is not None:
             on_row(row)
 
-    for bucket, names in groups.items():
-        if all(n in skip for n in names):
-            continue
-        graphs = [suite[n][0] for n in names]
-        try:
-            ib = build_interp_batch(cfg, graphs, num_classes=num_classes,
-                                    is_imagenet_input=is_imagenet_input,
-                                    vocab=vocab, input_size=input_size)
-            packs = [pack_net_params(g, ib.bucket, params_of(n))
-                     for n, g in zip(names, graphs)]
-        except (EncodeError, ValueError, KeyError, NotImplementedError) as e:
-            log(f'bucket group {names} falls back to per-arch eval: {e!r}')
-            fallback.extend(n for n in names if n not in skip)
-            continue
-        from .nets.interpreter import max_fetch_elems
-        # every switch branch's dynamic_slice is traced with a static size, so
-        # the buffer must fit the largest read any branch could issue
-        buf_len = max(max(p[1].size for p in packs),
-                      max_fetch_elems(ib.bucket))
-        bufs = np.zeros((len(names), buf_len), np.float32)
-        noffs = np.zeros((len(names), ib.batch.n_pad), np.int32)
-        for i, (off, buf) in enumerate(packs):
-            bufs[i, :buf.size] = buf
-            noffs[i, :off.size] = off
-        bufs = jnp.asarray(bufs)
-        noffs = jnp.asarray(noffs)
-        arch = {k: jnp.asarray(v) for k, v in ib.arch.items()}
-        bkt = ib.bucket
-
-        @jax.jit
-        def logits_fn(bufs, noffs, arch, images, _bkt=bkt):
-            def per_net(carry, xs):
-                buf, noff, arch_b = xs
-                fe = BufferFetcher(cfg, buf, noff)
-                logits, _ = interpret_forward(None, cfg, _bkt, None, arch_b,
-                                              images, fetcher=fe)
-                return carry, logits
-            _, out = jax.lax.scan(per_net, jnp.float32(0.0),
-                                  (bufs, noffs, arch))
-            return out            # (B_meta, B, num_classes)
-
-        top1 = np.zeros(len(names))
-        top5 = np.zeros(len(names))
+    fallback = []
+    for grp in _packed_groups(cfg, suite, params_of, num_classes,
+                              is_imagenet_input, input_size, vocab, skip,
+                              fallback):
+        logits_fn = _buffered_logits_fn(cfg, grp.bucket)
+        top1 = np.zeros(len(grp.names))
+        top5 = np.zeros(len(grp.names))
         n_img = 0
         for images, labels in data.batches(batch_size, train=False, seed=seed):
             lg = np.asarray(_retry_transient(
-                lambda: logits_fn(bufs, noffs, arch, jnp.asarray(images))))
+                lambda: logits_fn(grp.bufs, grp.noffs, grp.arch,
+                                  jnp.asarray(images))))
             top = np.argsort(lg, axis=-1)[..., ::-1][..., :5]
             hits = top == labels[None, :, None]
             top1 += hits[..., :1].any(-1).sum(-1)
             top5 += hits.any(-1).sum(-1)
             n_img += len(labels)
-        for i, name in enumerate(names):
+        for i, name in enumerate(grp.names):
             if name in skip:
                 continue
             emit(name, 100.0 * top1[i] / max(1, n_img),
@@ -308,6 +255,196 @@ def eval_suite_buffered(cfg, suite: Dict[str, tuple], params_of, data,
         t1, t5 = infer(net, params_of(name), data, batch_size=batch_size,
                        seed=seed)
         emit(name, t1, t5)
+    return results
+
+
+class _PackedGroup:
+    """One same-bucket slice of a suite, packed for the buffer programs."""
+
+    def __init__(self, bucket, names, ib, bufs, noffs, specs):
+        self.bucket = bucket
+        self.names = names
+        self.ib = ib
+        self.bufs = bufs          # (B_meta, L) device array
+        self.noffs = noffs        # (B_meta, n_pad) device array
+        self.arch = {k: jnp.asarray(v) for k, v in ib.arch.items()}
+        self.specs = specs        # per-net unpack specs
+
+
+def _packed_groups(cfg, suite, params_of, num_classes, is_imagenet_input,
+                   input_size, vocab, skip, fallback: list):
+    """Group a genotype suite by ArchBucket and pack each group's parameter
+    values into (buffer, offsets) arrays; unencodable nets land in ``fallback``."""
+    from .nets.interpreter import (EncodeError, bucket_of, max_fetch_elems,
+                                   pack_net_params, vocab_from_genotypes)
+    from .parallel.meta_executor import build_interp_batch
+
+    if vocab is None:
+        vocab = vocab_from_genotypes([g.net_args['genotype']
+                                      for g, _net in suite.values()])
+    groups: Dict[object, List[str]] = {}
+    for name, (g, _net) in suite.items():
+        try:
+            b = bucket_of(g.net_args, num_classes, is_imagenet_input,
+                          vocab=vocab, input_size=input_size)
+            groups.setdefault(b, []).append(name)
+        except (EncodeError, NotImplementedError, AssertionError, KeyError):
+            fallback.append(name)
+
+    for bucket, names in groups.items():
+        if all(n in skip for n in names):
+            continue
+        graphs = [suite[n][0] for n in names]
+        try:
+            ib = build_interp_batch(cfg, graphs, num_classes=num_classes,
+                                    is_imagenet_input=is_imagenet_input,
+                                    vocab=vocab, input_size=input_size)
+            packs = [pack_net_params(g, ib.bucket, params_of(n))
+                     for n, g in zip(names, graphs)]
+        except (EncodeError, ValueError, KeyError, NotImplementedError) as e:
+            log(f'bucket group {names} falls back to per-arch path: {e!r}')
+            fallback.extend(n for n in names if n not in skip)
+            continue
+        # every switch branch's dynamic_slice is traced with a static size, so
+        # the buffer must fit the largest read any branch could issue
+        buf_len = max(max(p[1].size for p in packs),
+                      max_fetch_elems(ib.bucket))
+        bufs = np.zeros((len(names), buf_len), np.float32)
+        noffs = np.zeros((len(names), ib.batch.n_pad), np.int32)
+        for i, (off, buf, _spec) in enumerate(packs):
+            bufs[i, :buf.size] = buf
+            noffs[i, :off.size] = off
+        yield _PackedGroup(ib.bucket, names, ib, jnp.asarray(bufs),
+                           jnp.asarray(noffs), [p[2] for p in packs])
+
+
+def _buffered_logits_fn(cfg, bucket):
+    from .nets.interpreter import BufferFetcher, interpret_forward
+
+    @jax.jit
+    def logits_fn(bufs, noffs, arch, images):
+        def per_net(carry, xs):
+            buf, noff, arch_b = xs
+            fe = BufferFetcher(cfg, buf, noff)
+            logits, _ = interpret_forward(None, cfg, bucket, None, arch_b,
+                                          images, fetcher=fe)
+            return carry, logits
+        _, out = jax.lax.scan(per_net, jnp.float32(0.0), (bufs, noffs, arch))
+        return out                # (B_meta, B, num_classes)
+
+    return logits_fn
+
+
+def finetune_suite_buffered(cfg, suite: Dict[str, tuple], params_of, data,
+                            epochs_eval: List[int], batch_size: int = 64,
+                            lr: float = 0.01, wd: float = 3e-5,
+                            momentum: float = 0.9, grad_clip: float = 5.0,
+                            scheduler: str = 'cosine', seed: int = 0,
+                            num_classes: int = 10,
+                            is_imagenet_input: bool = False,
+                            input_size: int = 32, vocab=None, skip=None,
+                            on_row=None) -> Dict[str, dict]:
+    """SGD fine-tuning of a whole genotype suite through the buffer-backed
+    bucket programs: the packed parameter buffer IS the optimization variable,
+    so every net in a bucket trains inside ONE compiled train-step program
+    (architecture wiring as data) instead of one forward+backward program per
+    architecture. Matches the Trainer's torch-style SGD semantics: per-net
+    global-norm grad clip, then coupled weight decay, momentum, per-epoch
+    cosine/step LR (reference train_ddp.py recipe; parallel/optim.py).
+
+    Zero-padding invariance: padded buffer regions start at exact zero, their
+    activations are zero, and their gradients are zero (zero downstream
+    weights), so plain SGD keeps the padding exactly zero — folded-width
+    training is exact (asserted by tests/test_buffer_eval.py against the
+    per-arch Trainer).
+
+    :param epochs_eval: epoch marks at which to record eval top-1.
+    :returns: {name: {'marks': {epoch: top1}, 'params': {...final values...}}}
+    """
+    from .parallel.optim import lr_multiplier
+    from .parallel.trainer import cross_entropy
+
+    skip = skip or set()
+    total_epochs = max(epochs_eval)
+    results: Dict[str, dict] = {}
+    fallback = []
+    for grp in _packed_groups(cfg, suite, params_of, num_classes,
+                              is_imagenet_input, input_size, vocab, skip,
+                              fallback):
+        logits_fn = _buffered_logits_fn(cfg, grp.bucket)
+        bucket = grp.bucket
+
+        @jax.jit
+        def step_fn(bufs, vel, noffs, arch, images, labels, lr_t,
+                    _bucket=bucket):
+            from .nets.interpreter import BufferFetcher, interpret_forward
+
+            def loss_fn(bufs):
+                def per_net(carry, xs):
+                    buf, noff, arch_b = xs
+                    fe = BufferFetcher(cfg, buf, noff)
+                    logits, _ = interpret_forward(None, cfg, _bucket, None,
+                                                  arch_b, images, fetcher=fe)
+                    return carry, cross_entropy(logits, labels)
+                _, losses = jax.lax.scan(per_net, jnp.float32(0.0),
+                                         (bufs, noffs, arch))
+                return losses.sum(), losses
+
+            (_, losses), g = jax.value_and_grad(loss_fn, has_aux=True)(bufs)
+            # per-net global-norm clip (each row is an independent net)
+            gn = jnp.sqrt(jnp.sum(g * g, axis=1, keepdims=True))
+            g = g * jnp.minimum(1.0, grad_clip / jnp.maximum(gn, 1e-12))
+            g = g + wd * bufs                       # coupled weight decay
+            new_vel = momentum * vel + g
+            new_bufs = bufs - lr_t * new_vel
+            # per-net NaN skip (the Trainer's non-finite protocol, row-wise:
+            # keep old params AND old optimizer state for that net)
+            finite = jnp.isfinite(losses)[:, None]
+            new_bufs = jnp.where(finite, new_bufs, bufs)
+            new_vel = jnp.where(finite, new_vel, vel)
+            return new_bufs, new_vel, losses
+
+        bufs = grp.bufs
+        vel = jnp.zeros_like(bufs)
+        marks = {name: {} for name in grp.names}
+        for epoch in range(total_epochs):
+            lr_t = jnp.float32(lr * lr_multiplier(scheduler, epoch,
+                                                  total_epochs))
+            for images, labels in data.batches(batch_size, train=True,
+                                               seed=seed + epoch):
+                bufs, vel, _losses = _retry_transient(
+                    lambda: step_fn(bufs, vel, grp.noffs, grp.arch,
+                                    jnp.asarray(images), jnp.asarray(labels),
+                                    lr_t))
+            if (epoch + 1) in epochs_eval:
+                top1 = np.zeros(len(grp.names))
+                n_img = 0
+                for images, labels in data.batches(batch_size, train=False,
+                                                   seed=seed):
+                    lg = np.asarray(_retry_transient(
+                        lambda: logits_fn(bufs, grp.noffs, grp.arch,
+                                          jnp.asarray(images))))
+                    top1 += (lg.argmax(-1) == labels[None, :]).sum(-1)
+                    n_img += len(labels)
+                for i, name in enumerate(grp.names):
+                    marks[name][epoch + 1] = 100.0 * top1[i] / max(1, n_img)
+        bufs_np = np.asarray(jax.device_get(bufs))
+        from .nets.interpreter import unpack_net_params
+        for i, name in enumerate(grp.names):
+            if name in skip:
+                continue
+            row = {'arch': name, 'marks': marks[name],
+                   'params': unpack_net_params(grp.specs[i], bufs_np[i])}
+            results[name] = row
+            log(f'buffered finetune {name}: ' + ' '.join(
+                f'ep{e}={v:.2f}' for e, v in sorted(marks[name].items())))
+            if on_row is not None:
+                on_row(row)
+
+    if fallback:
+        raise NotImplementedError(
+            f'buffered finetune has no per-arch fallback; unencodable nets: '
+            f'{[n for n in fallback if n not in skip]}')
     return results
 
 

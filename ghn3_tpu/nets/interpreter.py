@@ -1144,7 +1144,10 @@ def pack_net_params(graph: GraphDef, bucket: ArchBucket,
 
     :param params: name -> array at TRUE shapes (e.g. evaluate.he_init_params
         output, or a predicted PackedParams view converted to a dict).
-    :return: (node_off int32 [n_nodes], buffer float32 [L]).
+    :return: (node_off int32 [n_nodes], buffer float32 [L], spec) where spec is
+        a list of (name, offset, pad_shape, true_shape) rows —
+        :func:`unpack_net_params` inverts the layout with it (e.g. to read
+        fine-tuned values back out of an optimized buffer).
     """
     assert graph.net_args is not None and 'genotype' in graph.net_args
     shapes_pad = fill_slot_shapes(bucket, graph.net_args['genotype'],
@@ -1165,6 +1168,7 @@ def pack_net_params(graph: GraphDef, bucket: ArchBucket,
 
     offs = np.zeros((graph.n_nodes,), np.int32)
     chunks: List[np.ndarray] = []
+    spec: List[Tuple[str, int, Tuple[int, ...], Tuple[int, ...]]] = []
     cur = 0
     for cell_rows in graph.node_info:
         for row in cell_rows:
@@ -1178,14 +1182,31 @@ def pack_net_params(graph: GraphDef, bucket: ArchBucket,
                 b_name = name[:-len('.weight')] + '.bias'
                 vec = np.concatenate([embed(params[name], (pad_sz[0],)),
                                       embed(params[b_name], (pad_sz[0],))])
+                spec.append((name, cur, (int(pad_sz[0]),),
+                             tuple(np.shape(params[name]))))
+                spec.append((b_name, cur + int(pad_sz[0]), (int(pad_sz[0]),),
+                             tuple(np.shape(params[b_name]))))
             else:
                 vec = embed(params[name], pad_sz)
+                spec.append((name, cur, tuple(int(v) for v in pad_sz),
+                             tuple(np.shape(params[name]))))
             offs[row.node_ind] = cur
             chunks.append(vec)
             cur += vec.size
     buffer = (np.concatenate(chunks) if chunks
               else np.zeros((1,), np.float32))
-    return offs, buffer
+    return offs, buffer, spec
+
+
+def unpack_net_params(spec, buffer: np.ndarray) -> Dict[str, np.ndarray]:
+    """Invert :func:`pack_net_params`: crop each tensor's true-shape leading
+    corner back out of a (possibly optimized) flat buffer."""
+    buffer = np.asarray(buffer)
+    out: Dict[str, np.ndarray] = {}
+    for name, off, pad_sz, true_sz in spec:
+        t = buffer[off:off + int(np.prod(pad_sz))].reshape(pad_sz)
+        out[name] = t[tuple(slice(0, s) for s in true_sz)]
+    return out
 
 
 def interpret_forward(params, cfg: GHNConfig, bucket: ArchBucket,

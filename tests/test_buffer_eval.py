@@ -70,7 +70,7 @@ def _buffer_logits(net_args, params_by_name, images, seedless_graph=None):
     net, graph = seedless_graph or _net_and_graph(net_args)
     vocab = itp.vocab_from_genotypes([net_args['genotype']])
     bucket, arch = itp.encode_arch(graph, num_classes=10, cfg=CFG, vocab=vocab)
-    offs, buf = itp.pack_net_params(graph, bucket, params_by_name)
+    offs, buf, _spec = itp.pack_net_params(graph, bucket, params_by_name)
     fe = itp.BufferFetcher(CFG, jnp.asarray(buf), jnp.asarray(offs))
     arch_j = {k: jnp.asarray(v) for k, v in arch.items() if k != 'shape_ind'}
     logits, predwd = itp.interpret_forward(None, CFG, bucket, None, arch_j,
@@ -148,6 +148,65 @@ def test_eval_suite_buffered_matches_per_arch_infer():
         t1, t5 = infer(net, params_by_name[name], data, batch_size=32)
         assert abs(got[name]['top1'] - t1) < 1e-6, name
         assert abs(got[name]['top5'] - t5) < 1e-6, name
+
+
+@pytest.mark.slow
+def test_finetune_suite_buffered_matches_trainer():
+    """Buffered SGD fine-tuning == the per-arch Trainer with the identical
+    recipe (momentum 0.9, coupled wd, global-norm clip, per-epoch cosine):
+    final parameter values agree at fp32-accumulation tolerance and the
+    recorded top-1 marks match. This is the semantics contract behind
+    finetune_suite_buffered's one-program-per-bucket training."""
+    from ghn3_tpu.evaluate import finetune_suite_buffered
+    from ghn3_tpu.parallel.trainer import Trainer
+
+    net_args = dict(BASE, genotype=GENO_SIMPLE, n_cells=2)
+    net, graph = _net_and_graph(net_args)
+    params = {k: np.asarray(v) for k, v in he_init_params(net, seed=5).items()}
+    data = _TinyData()
+    recipe = dict(lr=0.05, wd=3e-5)
+    got = finetune_suite_buffered(
+        CFG, {'n0': (graph, net)}, lambda n: dict(params), data,
+        epochs_eval=[1, 2], batch_size=24, num_classes=10, seed=0,
+        lr=recipe['lr'], wd=recipe['wd'])
+
+    trainer = Trainer(model=net,
+                      model_params={k: jnp.asarray(v) for k, v in params.items()},
+                      opt='sgd',
+                      opt_args={'lr': recipe['lr'], 'weight_decay': recipe['wd'],
+                                'momentum': 0.9},
+                      scheduler='cosine', n_batches=2, epochs=2,
+                      log_interval=10 ** 9, seed=0)
+    marks = {}
+    for epoch in range(2):
+        trainer.reset_metrics(epoch)
+        for images, labels in data.batches(24, train=True, seed=epoch):
+            trainer.update(images, labels)
+        trainer.scheduler_step(epoch + 1)
+        t1, _t5 = infer(net, trainer.model_params, data, batch_size=24)
+        marks[epoch + 1] = t1
+
+    for e in (1, 2):
+        assert abs(got['n0']['marks'][e] - marks[e]) <= 100.0 / 48 + 1e-6, \
+            (e, got['n0']['marks'], marks)
+    fin = got['n0']['params']
+    for name, ref in trainer.model_params.items():
+        np.testing.assert_allclose(fin[name], np.asarray(ref),
+                                   atol=2e-3, rtol=2e-3, err_msg=name)
+
+
+def test_unpack_net_params_roundtrip():
+    """pack -> unpack recovers every tensor bit-exactly at its true shape."""
+    net_args = CASES['mixed']
+    net, graph = _net_and_graph(net_args)
+    params = {k: np.asarray(v) for k, v in he_init_params(net, seed=7).items()}
+    vocab = itp.vocab_from_genotypes([net_args['genotype']])
+    bucket, _arch = itp.encode_arch(graph, num_classes=10, cfg=CFG, vocab=vocab)
+    _offs, buf, spec = itp.pack_net_params(graph, bucket, params)
+    out = itp.unpack_net_params(spec, buf)
+    assert set(out) == set(params)
+    for name in params:
+        np.testing.assert_array_equal(out[name], params[name], err_msg=name)
 
 
 def test_eval_suite_buffered_skip_resume():
