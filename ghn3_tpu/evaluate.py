@@ -380,12 +380,21 @@ def finetune_suite_buffered(cfg, suite: Dict[str, tuple], params_of, data,
             from .nets.interpreter import BufferFetcher, interpret_forward
 
             def loss_fn(bufs):
-                def per_net(carry, xs):
-                    buf, noff, arch_b = xs
+                # remat the per-net forward: without it the scan stores every
+                # net's activations for the backward pass at once (B_meta x a
+                # full net's residuals), which overflows 16 GB HBM for 32-net
+                # buckets; recomputing each net's forward during backward
+                # keeps residency at ONE net's activations (HBM-for-FLOPs,
+                # the standard TPU trade)
+                @jax.checkpoint
+                def net_loss(buf, noff, arch_b):
                     fe = BufferFetcher(cfg, buf, noff)
                     logits, _ = interpret_forward(None, cfg, _bucket, None,
                                                   arch_b, images, fetcher=fe)
-                    return carry, cross_entropy(logits, labels)
+                    return cross_entropy(logits, labels)
+
+                def per_net(carry, xs):
+                    return carry, net_loss(*xs)
                 _, losses = jax.lax.scan(per_net, jnp.float32(0.0),
                                          (bufs, noffs, arch))
                 return losses.sum(), losses

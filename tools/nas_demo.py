@@ -2,7 +2,7 @@
 """Prediction-based neural architecture search on the DeepNets-1M `search`
 split: rank candidate architectures by the accuracy of their GHN-PREDICTED
 parameters (a zero-training proxy), then verify the ranking by actually
-training a selection of them.
+training the candidates.
 
 This is the use-case the published dataset ships its `search` split for
 (reference eval_ghn.py:20 lists it among the eval splits; the GHN papers use
@@ -16,13 +16,17 @@ recipe (digits; the RESULTS.md learning-proof checkpoint):
       --nets_dir ./data/dn1m_digits_search --num_search 100
 
 Protocol:
-  1. predict parameters for every search candidate (one GHN forward each) and
-     score it by predicted-parameter top-1 on the eval images;
-  2. select the top-K, middle-K, and bottom-K candidates of that ranking;
-  3. train each selected candidate from scratch (He init, identical SGD
-     budget) and compare the groups' trained accuracy;
-  4. report Spearman rank correlation between the zero-training score and the
-     trained accuracy over all selected candidates.
+  1. predict parameters for every search candidate (chunked packed predict)
+     and score it by predicted-parameter top-1 on the eval images through the
+     buffer-backed bucket programs (evaluate.eval_suite_buffered);
+  2. train EVERY candidate from scratch (He init, identical SGD budget)
+     through the same bucket programs (evaluate.finetune_suite_buffered) —
+     whole-population ground truth, not a sampled subset: one compiled SGD
+     step per ArchBucket makes n=100 trainings as cheap as a handful used
+     to be;
+  3. report Spearman rank correlation (with a bootstrap 95% CI) between the
+     zero-training score and the trained accuracy, plus top/mid/bottom-K
+     group means of the GHN ranking.
 
 A working GHN ranker shows trained(top-K) > trained(bottom-K) and rho > 0 —
 architecture search at ~1000x less compute than training every candidate.
@@ -57,14 +61,27 @@ def spearman(a, b) -> float:
     return float((ra * rb).sum() / denom) if denom else 0.0
 
 
+def spearman_ci(a, b, n_boot: int = 10000, seed: int = 0, alpha: float = 0.05):
+    """Percentile bootstrap confidence interval for the Spearman rho."""
+    a, b = np.asarray(a), np.asarray(b)
+    rng = np.random.default_rng(seed)
+    n = len(a)
+    boots = np.empty(n_boot)
+    for i in range(n_boot):
+        idx = rng.integers(0, n, n)
+        boots[i] = spearman(a[idx], b[idx])
+    lo, hi = np.percentile(boots, [100 * alpha / 2, 100 * (1 - alpha / 2)])
+    return float(lo), float(hi)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--ckpt', required=True)
     ap.add_argument('--nets_dir', default='./data/dn1m_digits_search')
     ap.add_argument('--dataset', default='digits')
     ap.add_argument('--num_search', type=int, default=100)
-    ap.add_argument('--select', type=int, default=5,
-                    help='candidates trained per group (top/mid/bottom)')
+    ap.add_argument('--select', type=int, default=10,
+                    help='K for the top/mid/bottom group summary')
     ap.add_argument('--epochs', type=int, default=10)
     ap.add_argument('--batch_size', type=int, default=64)
     ap.add_argument('--lr', type=float, default=0.01)
@@ -85,10 +102,13 @@ def main():
     from ghn3_tpu import GHN3
     from ghn3_tpu.data.deepnets1m import DeepNets1M
     from ghn3_tpu.data.images import image_loader
-    from ghn3_tpu.evaluate import he_init_params, predict_and_eval_suite
+    from ghn3_tpu.evaluate import (eval_suite_buffered, finetune_suite_buffered,
+                                   he_init_params, predict_and_eval_suite)
     from ghn3_tpu.nets.darts import Network
+    from ghn3_tpu.utils.cache import enable_persistent_cache
     from ghn3_tpu.utils.logging import log
-    from finetune_proof import finetune
+    from learning_proof import view_params_factory
+    enable_persistent_cache()
 
     ghn = GHN3.from_pretrained(args.ckpt)
     data = image_loader(args.dataset, './data', imsize=32, split='val')
@@ -107,50 +127,54 @@ def main():
         suite[f'search_{i}'] = (g, net)
     log(f'{len(suite)} search candidates from {args.nets_dir}')
 
-    # 1. zero-training scores: predicted-parameter accuracy
+    # 1. zero-training scores: predicted-parameter accuracy (packed predict +
+    # buffered bucket eval — both wiring and values ride as data)
     t0 = time.time()
-    rows = predict_and_eval_suite(ghn, suite, data=data,
-                                  batch_size=args.batch_size)
-    score = {r['arch']: r['top1'] for r in rows}
+    predict_and_eval_suite(ghn, suite, data=None)
+    scored = eval_suite_buffered(ghn.config, suite, view_params_factory(suite),
+                                 data, batch_size=args.batch_size,
+                                 num_classes=data.num_classes)
+    score = {n: r['top1'] for n, r in scored.items()}
     t_score = time.time() - t0
     log(f'scored {len(score)} candidates in {t_score:.1f}s '
         f'({t_score / len(score):.2f}s each, zero training)')
 
-    # 2. select top / middle / bottom K of the ranking
+    # 2. whole-population ground truth: train every candidate from He init
+    he = {name: {k: np.asarray(v) for k, v in
+                 he_init_params(net, seed=1000 + j).items()}
+          for j, (name, (_g, net)) in enumerate(suite.items())}
+    t0 = time.time()
+    ft = finetune_suite_buffered(ghn.config, suite, lambda n: he[n], data,
+                                 epochs_eval=[args.epochs],
+                                 batch_size=args.batch_size, lr=args.lr,
+                                 wd=args.wd, num_classes=data.num_classes,
+                                 seed=args.seed)
+    trained = {n: r['marks'][args.epochs] for n, r in ft.items()}
+    t_train = time.time() - t0
+    log(f'trained all {len(trained)} candidates for {args.epochs} epochs in '
+        f'{t_train:.1f}s ({t_train / len(trained):.1f}s each)')
+
+    # 3. summarize: groups of the GHN ranking + whole-population correlation
     ranked = sorted(score, key=score.get, reverse=True)
     k, mid = args.select, len(ranked) // 2
     groups = {'top': ranked[:k],
               'mid': ranked[mid - k // 2: mid - k // 2 + k],
               'bottom': ranked[-k:]}
-
-    # 3. train the selected candidates from scratch (identical budgets)
-    trained = {}
-    for gname, names in groups.items():
-        for name in names:
-            if name in trained:
-                continue
-            net = suite[name][1]
-            i = int(name.rsplit('_', 1)[1])
-            p0 = he_init_params(net, seed=1000 + i)
-            t0 = time.time()
-            marks = finetune(net, p0, data, [args.epochs], args.batch_size,
-                             args.lr, args.wd, seed=args.seed + i)
-            trained[name] = marks[args.epochs]
-            log(f'{gname:6s} {name}: score={score[name]:.2f} '
-                f'trained@{args.epochs}ep={trained[name]:.2f} '
-                f'({time.time() - t0:.0f}s)')
-
-    # 4. summarize
     group_means = {g: {'score': float(np.mean([score[n] for n in names])),
                        'trained': float(np.mean([trained[n] for n in names]))}
                    for g, names in groups.items()}
     sel = sorted(trained)
-    rho = spearman([score[n] for n in sel], [trained[n] for n in sel])
+    a = [score[n] for n in sel]
+    b = [trained[n] for n in sel]
+    rho = spearman(a, b)
+    lo, hi = spearman_ci(a, b, seed=args.seed)
     summary = {
         'ckpt': args.ckpt, 'dataset': args.dataset,
         'num_search': len(suite), 'select_per_group': k,
         'epochs': args.epochs, 'score_sec_per_arch': t_score / len(score),
+        'train_sec_per_arch': t_train / len(trained),
         'group_means': group_means, 'spearman_rho': rho,
+        'spearman_ci95': [lo, hi], 'n_trained': len(sel),
         'scores': {n: score[n] for n in ranked},
         'trained': trained,
     }
@@ -166,9 +190,11 @@ def main():
         for g in ('top', 'mid', 'bottom'):
             lines.append('| %s-%d by GHN score | %.2f | **%.2f** |' % (
                 g, k, group_means[g]['score'], group_means[g]['trained']))
-        lines.append(f'\nSpearman(score, trained) = **{rho:.3f}** over '
-                     f'{len(sel)} trained candidates; scoring cost '
-                     f'{t_score / len(score):.2f}s/arch vs training them.')
+        lines.append(f'\nSpearman(score, trained) = **{rho:.3f}** '
+                     f'(95% CI [{lo:.3f}, {hi:.3f}]) over ALL {len(sel)} '
+                     f'candidates trained; scoring cost '
+                     f'{t_score / len(score):.2f}s/arch vs '
+                     f'{t_train / len(trained):.1f}s/arch to train.')
         with open(args.out, 'a') as f:
             f.write('\n'.join(lines) + '\n')
         log(f'table appended to {args.out}')
