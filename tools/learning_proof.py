@@ -146,7 +146,10 @@ def main():
     part_key = {'ckpt': args.ckpt, 'ckpt_sha': _file_fingerprint(args.ckpt),
                 'dataset': args.dataset, 'split': args.split,
                 'num_nets': args.num_nets, 'nets_dir': args.nets_dir,
-                'arms': 'buffered-v2'}
+                'arms': 'buffered-v2',
+                # chunking knob recorded so a resume under a different budget
+                # (different compiled programs) can never merge silently
+                'chunk_budget': os.environ.get('GHN3_CHUNK_BUDGET', '')}
     part = {'key': part_key}
     if os.path.exists(part_path):
         try:
