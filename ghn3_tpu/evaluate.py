@@ -213,14 +213,20 @@ def eval_suite_buffered(cfg, suite: Dict[str, tuple], params_of, data,
     :param params_of: callable(name) -> {param_name: array} at TRUE shapes
         (He init, a converted predicted view, fine-tuned weights, ...).
     :param suite: {name: (GraphDef, functional_net)} as in predict_and_eval_suite.
-    :returns: {name: {'top1': float, 'top5': float}}
+    :returns: {name: {'top1': float, 'top5': float, 'loss': float}} — ``loss``
+        is the mean cross-entropy of the logits, a continuous score that keeps
+        rank resolution where top-1 saturates (prediction-based NAS on easy
+        datasets; tools/nas_demo.py). The per-arch fallback path reports
+        top1/top5 only.
     """
     results: Dict[str, dict] = {}
     skip = skip or set()
 
-    def emit(name, top1, top5):
+    def emit(name, top1, top5, loss=None):
         row = {'arch': name, 'top1': top1, 'top5': top5}
-        results[name] = {'top1': top1, 'top5': top5}
+        if loss is not None:
+            row['loss'] = loss
+        results[name] = {k: v for k, v in row.items() if k != 'arch'}
         log(f'buffered eval {name}: top1={top1:.2f} top5={top5:.2f}')
         if on_row is not None:
             on_row(row)
@@ -232,6 +238,7 @@ def eval_suite_buffered(cfg, suite: Dict[str, tuple], params_of, data,
         logits_fn = _buffered_logits_fn(cfg, grp.bucket)
         top1 = np.zeros(len(grp.names))
         top5 = np.zeros(len(grp.names))
+        ce = np.zeros(len(grp.names))
         n_img = 0
         for images, labels in data.batches(batch_size, train=False, seed=seed):
             lg = np.asarray(_retry_transient(
@@ -241,12 +248,17 @@ def eval_suite_buffered(cfg, suite: Dict[str, tuple], params_of, data,
             hits = top == labels[None, :, None]
             top1 += hits[..., :1].any(-1).sum(-1)
             top5 += hits.any(-1).sum(-1)
+            lse = np.log(np.exp(lg - lg.max(-1, keepdims=True)).sum(-1)) \
+                + lg.max(-1)
+            ce += (lse - np.take_along_axis(
+                lg, labels[None, :, None], axis=-1)[..., 0]).sum(-1)
             n_img += len(labels)
         for i, name in enumerate(grp.names):
             if name in skip:
                 continue
             emit(name, 100.0 * top1[i] / max(1, n_img),
-                 100.0 * top5[i] / max(1, n_img))
+                 100.0 * top5[i] / max(1, n_img),
+                 float(ce[i]) / max(1, n_img))
 
     for name in fallback:
         if name in skip:

@@ -134,7 +134,12 @@ def main():
     scored = eval_suite_buffered(ghn.config, suite, view_params_factory(suite),
                                  data, batch_size=args.batch_size,
                                  num_classes=data.num_classes)
-    score = {n: r['top1'] for n, r in scored.items()}
+    # primary score = negative cross-entropy of the predicted-param logits:
+    # continuous, so it keeps rank resolution where top-1 saturates (digits
+    # predictions cluster at 94-99% top-1, collapsing accuracy ranks to ties);
+    # top-1 is kept and reported alongside
+    score = {n: -r['loss'] for n, r in scored.items()}
+    score_top1 = {n: r['top1'] for n, r in scored.items()}
     t_score = time.time() - t0
     log(f'scored {len(score)} candidates in {t_score:.1f}s '
         f'({t_score / len(score):.2f}s each, zero training)')
@@ -168,14 +173,18 @@ def main():
     b = [trained[n] for n in sel]
     rho = spearman(a, b)
     lo, hi = spearman_ci(a, b, seed=args.seed)
+    rho_top1 = spearman([score_top1[n] for n in sel], b)
     summary = {
         'ckpt': args.ckpt, 'dataset': args.dataset,
         'num_search': len(suite), 'select_per_group': k,
         'epochs': args.epochs, 'score_sec_per_arch': t_score / len(score),
         'train_sec_per_arch': t_train / len(trained),
+        'score_metric': 'neg_cross_entropy',
         'group_means': group_means, 'spearman_rho': rho,
-        'spearman_ci95': [lo, hi], 'n_trained': len(sel),
+        'spearman_ci95': [lo, hi], 'spearman_rho_top1_score': rho_top1,
+        'n_trained': len(sel),
         'scores': {n: score[n] for n in ranked},
+        'scores_top1': {n: score_top1[n] for n in ranked},
         'trained': trained,
     }
     os.makedirs(os.path.dirname(args.json) or '.', exist_ok=True)
@@ -185,8 +194,8 @@ def main():
                     if key not in ('scores', 'trained')}, indent=1))
 
     if args.out:
-        lines = ['', '| selection | mean predicted score | mean trained top-1 '
-                 f'(+{args.epochs}ep) |', '|---|---|---|']
+        lines = ['', '| selection | mean predicted score (-CE) | mean trained '
+                 f'top-1 (+{args.epochs}ep) |', '|---|---|---|']
         for g in ('top', 'mid', 'bottom'):
             lines.append('| %s-%d by GHN score | %.2f | **%.2f** |' % (
                 g, k, group_means[g]['score'], group_means[g]['trained']))
