@@ -87,6 +87,11 @@ def main():
     ap.add_argument('--lr', type=float, default=0.01)
     ap.add_argument('--wd', type=float, default=3e-5)
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--train_seed', type=int, default=0,
+                    help='seed for the ground-truth training arm only (He '
+                         'init + batch order); candidate sampling stays on '
+                         '--seed, so two runs differing only here measure '
+                         'the seed-noise ceiling of the ranking target')
     ap.add_argument('--num_ch', default='32,64',
                     help='width pool matching the GHN training distribution')
     ap.add_argument('--fc_dims', default='128')
@@ -146,14 +151,15 @@ def main():
 
     # 2. whole-population ground truth: train every candidate from He init
     he = {name: {k: np.asarray(v) for k, v in
-                 he_init_params(net, seed=1000 + j).items()}
+                 he_init_params(net,
+                                seed=1000 + j + 10000 * args.train_seed).items()}
           for j, (name, (_g, net)) in enumerate(suite.items())}
     t0 = time.time()
     ft = finetune_suite_buffered(ghn.config, suite, lambda n: he[n], data,
                                  epochs_eval=[args.epochs],
                                  batch_size=args.batch_size, lr=args.lr,
                                  wd=args.wd, num_classes=data.num_classes,
-                                 seed=args.seed)
+                                 seed=args.seed + 7777 * args.train_seed)
     trained = {n: r['marks'][args.epochs] for n, r in ft.items()}
     t_train = time.time() - t0
     log(f'trained all {len(trained)} candidates for {args.epochs} epochs in '
@@ -179,7 +185,7 @@ def main():
         'num_search': len(suite), 'select_per_group': k,
         'epochs': args.epochs, 'score_sec_per_arch': t_score / len(score),
         'train_sec_per_arch': t_train / len(trained),
-        'score_metric': 'neg_cross_entropy',
+        'score_metric': 'neg_cross_entropy', 'train_seed': args.train_seed,
         'group_means': group_means, 'spearman_rho': rho,
         'spearman_ci95': [lo, hi], 'spearman_rho_top1_score': rho_top1,
         'n_trained': len(sel),
