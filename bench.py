@@ -208,15 +208,27 @@ def predict_suite(jax):
     batches = [(chunk, GraphBatch.from_graphs([graphs[n] for n in chunk]))
                for chunk in chunks]
 
+    # GHN3_BENCH_WINDOW: number of chunks allowed in flight before blocking.
+    # 1 = fully synchronous (one tunnel sync round-trip per chunk — 31 syncs
+    # per sweep). Larger windows pipeline the per-chunk dispatch+sync latency
+    # against device execution at the cost of window-many live packed buffers
+    # (~0.6 GB each at the 150M-param chunk budget). MEASURED (round 4, quiet
+    # chip, best-of-8): window 1 -> 401 models/s, 4 -> 383, 31 (unbounded) ->
+    # 400 — within run-to-run noise, so the sweep is compute-bound, not
+    # dispatch-latency-bound; default stays 1 (lowest HBM footprint). An
+    # earlier double-buffering variant also measured worse (313 vs 380).
+    window = int(os.environ.get('GHN3_BENCH_WINDOW', 1))
+
     def run_sweep():
-        # NOTE: double-buffering chunks (keeping two packed buffers live to
-        # overlap host prep with device exec) measured WORSE on chip (313 vs
-        # 380 models/s) — allocator pressure outweighs the overlap; the decode
-        # matmuls already run near the fp32-highest ceiling
+        inflight = []
         for chunk, batch in batches:
             views = P.predict_packed(ghn.params, cfg, batch,
                                      [tables[n] for n in chunk])
-            jax.block_until_ready(views[0].buffer)
+            inflight.append(views[0].buffer)
+            if len(inflight) >= window:
+                jax.block_until_ready(inflight.pop(0))
+        for buf in inflight:
+            jax.block_until_ready(buf)
 
     t0 = time.time()
     run_sweep()  # warmup: compile every (bucket, decode-key) program
