@@ -97,7 +97,16 @@ def sample_net_args(rng: np.random.Generator, ops: Optional[Sequence[str]] = Non
                     c_choices=(8, 16, 32), fc_dim_choices=(256,),
                     c_mult_choices=(1, 2), fc_layers_choices=(1, 2),
                     glob_avg_p: float = 0.9,
-                    imagenet: bool = False, norm: str = 'bn') -> dict:
+                    imagenet: bool = False, norm: str = 'bn',
+                    norm_free_p: float = 0.0) -> dict:
+    # norm_free_p: fraction of sampled nets with NO normalization layers
+    # (norm=None). The published training distribution is all-BN — bnfree is
+    # an OOD split — so this stays 0.0 for reference-protocol datasets; it
+    # exists for positive-control experiments (can the same GHN learn
+    # norm-free-viable weight scales when the training distribution covers
+    # them?). See RESULTS.md "bnfree" section.
+    if norm_free_p > 0 and rng.random() < norm_free_p:
+        norm = None
     kw = {'ops': tuple(ops)} if ops else {}
     geno = random_genotype(rng, steps=int(rng.choice(steps_choices)), **kw)
     # flatten heads (glob_avg=False) use the reference Network's FIXED

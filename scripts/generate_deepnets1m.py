@@ -47,6 +47,11 @@ def main():
     ap.add_argument('--c-mult', type=str, default='1,2')
     ap.add_argument('--fc-layers', type=str, default='1,2')
     ap.add_argument('--glob-avg-p', type=float, default=0.9)
+    ap.add_argument('--norm-free-p', type=float, default=0.0,
+                    help='fraction of sampled nets with NO normalization '
+                         'layers (norm=None). The published training '
+                         'distribution is all-BN (bnfree is OOD); nonzero '
+                         'values are for positive-control experiments')
     ap.add_argument('--ops', type=str, default=None,
                     help='comma-separated genotype op pool override, e.g. '
                          '"sep_conv_3x3,conv_3x3,max_pool_3x3,skip_connect,'
@@ -69,6 +74,7 @@ def main():
                         c_mult_choices=ints(args.c_mult),
                         fc_layers_choices=ints(args.fc_layers),
                         glob_avg_p=args.glob_avg_p,
+                        norm_free_p=args.norm_free_p,
                         ops=tuple(args.ops.split(',')) if args.ops else None,
                         log_every=max(1, args.num_train // 10))
     extra = ', '.join(f'{n} {s}' for s, n in

@@ -277,3 +277,35 @@ def test_writer_ood_eval_splits(tmp_path):
                                           ve_cutoff=50, **na)
                 np.testing.assert_array_equal(g.node_op, g2.node_op)
                 np.testing.assert_array_equal(g.adj, g2.adj)
+
+
+def test_writer_norm_free_fraction(tmp_path):
+    """norm_free_p mixes norm-free nets into the sampled distribution
+    (positive-control experiments; RESULTS.md bnfree section). 0.0 must keep
+    the default all-BN stream byte-identical (no rng draw is consumed)."""
+    import json
+
+    from ghn3_tpu.data.deepnets1m import DeepNets1M
+    from ghn3_tpu.data.deepnets1m_writer import write_dataset
+
+    base = write_dataset(str(tmp_path / 'a'), n_train=6, n_val=2, seed=3)
+    same = write_dataset(str(tmp_path / 'b'), n_train=6, n_val=2, seed=3,
+                         norm_free_p=0.0)
+    mixed = write_dataset(str(tmp_path / 'c'), n_train=6, n_val=2, seed=3,
+                          norm_free_p=0.5)
+    allfree = write_dataset(str(tmp_path / 'd'), n_train=6, n_val=2, seed=3,
+                            norm_free_p=1.0)
+    ma = json.load(open(base + '/deepnets1m_meta.json'))
+    mb = json.load(open(same + '/deepnets1m_meta.json'))
+    assert json.dumps(ma) == json.dumps(mb)
+
+    norms = [n['norm'] for n in
+             json.load(open(mixed + '/deepnets1m_meta.json'))['train']['nets']]
+    assert set(norms) == {'bn', None}   # 6 draws at p=0.5, seed chosen to mix
+    assert all(n['norm'] is None for n in
+               json.load(open(allfree + '/deepnets1m_meta.json'))['train']['nets'])
+
+    # norm-free records decode and carry no bn nodes
+    ds = DeepNets1M(split='train', nets_dir=allfree, attach_net=False)
+    for i in range(len(ds)):
+        assert ds[i].net_args['norm'] is None
