@@ -252,8 +252,16 @@ def predict_suite(jax):
     # provisional headline immediately so a kill during the remaining reps
     # still reports a real throughput number.
     n_rep = int(os.environ.get('GHN3_BENCH_REPS', 12))
+    # GHN3_BENCH_REP_SLEEP: idle seconds between reps (diagnostic). Round-4
+    # runs consistently show ~5 fast reps (~0.2 s) then a 3-4x slowdown on
+    # identical programs — the signature of a burst-then-throttle rate limit
+    # (or thermal cap) on the shared tunnel chip rather than random co-tenant
+    # noise; idling between reps tests whether the budget refills.
+    rep_sleep = float(os.environ.get('GHN3_BENCH_REP_SLEEP', 0))
     rep_times = []
     for i in range(n_rep):
+        if rep_sleep and i:
+            time.sleep(rep_sleep)
         t0 = time.time()
         run_sweep()
         rep_times.append(time.time() - t0)
