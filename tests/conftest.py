@@ -69,6 +69,7 @@ _SLOW_PATTERNS = (
     'test_cli.py::test_train_ghn_cli',
     'test_cli.py::test_train_net_cli_with_ghn_init',
     'test_deepnets.py::test_interp_stream_from_dataset',
+    'test_deepnets.py::test_mixed_norm_interp_stream_trains',
     'test_deepnets.py::test_interpreter_on_dataset_records',
     'test_deepnets.py::test_meta_training_step_on_deepnets',
     'test_meta_executor.py::test_trainer_streams_unique_archs_zero_recompiles',

@@ -309,3 +309,43 @@ def test_writer_norm_free_fraction(tmp_path):
     ds = DeepNets1M(split='train', nets_dir=allfree, attach_net=False)
     for i in range(len(ds)):
         assert ds[i].net_args['norm'] is None
+
+
+def test_mixed_norm_interp_stream_trains(tmp_path):
+    """Meta-training over a MIXED-norm dataset (norm_free_p: BN and norm-free
+    nets in one stream — the RESULTS.md bnfree positive-control recipe):
+    bucket-homogeneous batches keep has_norm uniform per program, both bucket
+    kinds appear, and the Trainer steps each to a finite loss."""
+    from ghn3_tpu.data.deepnets1m import DeepNets1M, NodeBudgetSampler
+    from ghn3_tpu.data.deepnets1m_writer import write_dataset
+    from ghn3_tpu.parallel.meta_executor import stream_interp_batches
+    from ghn3_tpu.parallel.trainer import Trainer
+
+    nets_dir = write_dataset(str(tmp_path), n_train=8, n_val=1, seed=5,
+                             norm_free_p=0.5, cells_choices=(2,),
+                             steps_choices=(1,), c_choices=(8,),
+                             fc_dim_choices=(64,), c_mult_choices=(1,),
+                             fc_layers_choices=(1,), glob_avg_p=1.0)
+    ds = DeepNets1M(split='train', nets_dir=nets_dir, wider_nets=False, seed=0)
+    norms = {n['norm'] for n in ds.nets}
+    assert norms == {'bn', None}
+
+    sampler = NodeBudgetSampler(ds, meta_batch_size=2, seed=0)
+    stream = stream_interp_batches(ds, sampler, CFG, 2, num_classes=10,
+                                   is_imagenet_input=False, patience=8,
+                                   vocab=ds.interpreter_vocab())
+    ghn = GHN3(CFG, seed=0)
+    trainer = Trainer(ghn=ghn, opt='adamw', opt_args={'lr': 1e-3},
+                      n_batches=4, predparam_wd=3e-5)
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(4, 3, 32, 32)).astype(np.float32)
+    labels = rng.integers(0, 10, size=(4,))
+    seen_norm_kinds = set()
+    for _ in range(4):
+        ib = next(stream)
+        seen_norm_kinds.add(ib.bucket.has_norm)
+        m = trainer.update(images, labels, meta_batch=ib)
+        assert np.isfinite(m['loss'].avg)
+        if seen_norm_kinds == {True, False}:
+            break
+    assert seen_norm_kinds == {True, False}
