@@ -398,6 +398,14 @@ def learning_proof_detail():
             'predicted': round(o['mean_top1_predicted'], 2),
             'randinit': round(o['mean_top1_randinit'], 2),
             'beat_randinit': f"{o['archs_beating_randinit']}/{o['n_archs']}"}
+    p = os.path.join(rdir, 'bnfree_control.json')
+    if os.path.exists(p):  # positive control: bnfree split, GHN meta-trained
+        with open(p) as f:  # on a 30%-norm-free distribution (off-protocol,
+            o = json.load(f)  # labeled as such — see RESULTS.md)
+        out['bnfree_control'] = {
+            'predicted': round(o['mean_top1_predicted'], 2),
+            'randinit': round(o['mean_top1_randinit'], 2),
+            'beat_randinit': f"{o['archs_beating_randinit']}/{o['n_archs']}"}
     p = os.path.join(rdir, 'nas_demo.json')
     if os.path.exists(p):  # prediction-based NAS on the search split
         with open(p) as f:
