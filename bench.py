@@ -44,7 +44,9 @@ import numpy as np
 V5E_PEAK_FLOPS = 197e12   # bf16 peak of one v5e (v5 lite) chip
 
 T_START = time.time()
-DEADLINE_SEC = float(os.environ.get('GHN3_BENCH_DEADLINE', 1200))
+# Driver captures are SIGTERM'd at ~1800 s (BENCH_r03/r04 rc=124); 1500 leaves
+# a 5-minute margin for the detail blocks' own watchdogs + emission.
+DEADLINE_SEC = float(os.environ.get('GHN3_BENCH_DEADLINE', 1500))
 
 # ---------------------------------------------------------------------------
 # Emit-once result state. RESULT is updated in place as stages complete so a
@@ -230,17 +232,62 @@ def predict_suite(jax):
         for buf in inflight:
             jax.block_until_ready(buf)
 
-    t0 = time.time()
-    run_sweep()  # warmup: compile every (bucket, decode-key) program
-    t_warmup = time.time() - t0
-    detail = {
+    RESULT['detail'].update({
         'suite': len(suite),
         'chunks': len(batches),
         'total_params_predicted': int(sum(param_count.values())),
         'graph_build_total_sec': round(t_graphs, 2),
-        'warmup_incl_compile_sec': round(t_warmup, 2),
-    }
-    RESULT['detail'].update(detail)
+    })
+    detail = RESULT['detail']   # mutated in place so every kill sees progress
+
+    # ---- deadline-gated warmup: warm + time CHUNK BY CHUNK -----------------
+    # A cold sweep costs minutes-per-chunk of XLA compile (BENCH_r04: 1,375 s
+    # for 31 chunks); warming the whole sweep before taking any timing lost
+    # rounds 3+4 to the driver kill. Instead each chunk is compiled then
+    # immediately re-timed, and a provisional headline from COMPLETED chunks'
+    # best times is published as we go — a kill mid-warmup still reports real
+    # throughput over the models actually swept. With window=1 a full-sweep
+    # rep equals the sum of per-chunk times (measured equal, round 4), so the
+    # per-chunk-sum is an unbiased stand-in until full-sweep reps land.
+    t0 = time.time()
+    chunk_best = []
+    models_done = 0
+    warm_all = True
+    for ci, (chunk, batch) in enumerate(batches):
+        t1 = time.time()
+        views = P.predict_packed(ghn.params, cfg, batch,
+                                 [tables[n] for n in chunk])
+        jax.block_until_ready(views[0].buffer)
+        t_compile = time.time() - t1
+        best = None
+        for _ in range(2):   # quick re-times now that this chunk is compiled
+            t1 = time.time()
+            views = P.predict_packed(ghn.params, cfg, batch,
+                                     [tables[n] for n in chunk])
+            jax.block_until_ready(views[0].buffer)
+            dt = time.time() - t1
+            best = dt if best is None else min(best, dt)
+        chunk_best.append(best)
+        models_done += len(chunk)
+        detail['warmup_chunks_done'] = ci + 1
+        detail['warmup_incl_compile_sec'] = round(time.time() - t0, 2)
+        if models_done and sum(chunk_best) > 0:
+            rate = models_done / sum(chunk_best)
+            detail['models_per_sec'] = rate
+            detail['models_warmed'] = models_done
+            _set_headline(rate, provisional=True)
+            RESULT['detail']['headline_source'] = (
+                'sum of per-chunk best times over warmed chunks')
+        # budget check: leave room for at least one more chunk compile of the
+        # size just observed, plus emission margin
+        if ci + 1 < len(batches) and _remaining() < max(60.0, 1.5 * t_compile):
+            warm_all = False
+            detail['warmup_truncated'] = (
+                f'deadline: {ci + 1}/{len(batches)} chunks warmed in '
+                f'{detail["warmup_incl_compile_sec"]} s')
+            break
+    if not warm_all:
+        return
 
     # Headline is the BEST-OF-N rep. The sweep is a fixed set of deterministic
     # compiled programs; the tunnel chip is multi-tenant, so per-rep wall time
@@ -251,7 +298,7 @@ def predict_suite(jax):
     # alongside so the distribution is visible. The FIRST rep lands a
     # provisional headline immediately so a kill during the remaining reps
     # still reports a real throughput number.
-    n_rep = int(os.environ.get('GHN3_BENCH_REPS', 12))
+    n_rep = int(os.environ.get('GHN3_BENCH_REPS', 8))
     # GHN3_BENCH_REP_SLEEP: idle seconds between reps (diagnostic). Round-4
     # runs consistently show ~5 fast reps (~0.2 s) then a 3-4x slowdown on
     # identical programs — the signature of a burst-then-throttle rate limit
@@ -269,6 +316,7 @@ def predict_suite(jax):
         RESULT['detail']['models_per_sec'] = len(suite) / t_predict
         RESULT['detail']['predict_sweep_sec'] = round(t_predict, 3)
         RESULT['detail']['sweep_reps_done'] = i + 1
+        RESULT['detail']['headline_source'] = 'best of full-sweep reps'
         _set_headline(len(suite) / t_predict, provisional=i + 1 < n_rep)
         if i + 1 < n_rep and _remaining() < 30:
             break   # deadline pressure: keep what we have, skip extra reps
@@ -277,7 +325,11 @@ def predict_suite(jax):
     RESULT['detail']['sweep_sec_median'] = round(float(np.median(rep_times)), 3)
     RESULT['detail']['sweep_sec_reps'] = [round(t, 3) for t in rep_times]
 
-    # FLOPs of the executed programs for MFU (host-side lowering; cheap)
+    if _remaining() < 60:
+        RESULT['detail']['mfu'] = {'skipped': 'deadline'}
+        return
+    # FLOPs of the executed programs for MFU (host-side lowering; the compile
+    # hits the in-process jit cache / persistent cache for already-run shapes)
     total_flops = 0.0
     for chunk, batch in batches:
         plan = P.build_plan(batch, [tables[n] for n in chunk], cfg)

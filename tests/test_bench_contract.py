@@ -60,6 +60,32 @@ def test_bench_completes_and_emits_headline(tmp_path):
         os.path.join(REPO, 'results', 'learning_proof.json'))
 
 
+def test_bench_deadline_truncates_warmup_but_reports_throughput():
+    """Round-4 failure mode: cold per-chunk compiles ate the driver budget and
+    the headline rested on one late rep. The warmup is now chunk-by-chunk: a
+    deadline that lands mid-warmup must still produce a real models/sec from
+    the chunks that DID warm, marked truncated."""
+    proc = subprocess.run(
+        [sys.executable, BENCH],
+        env=_bench_env(GHN3_BENCH_SUITE='alexnet,squeezenet1_0',
+                       GHN3_CHUNK_BUDGET='1e6',   # force one chunk per model
+                       GHN3_BENCH_DEADLINE='30'),  # < first-chunk wall time,
+        cwd=REPO, capture_output=True, text=True, timeout=600)
+    # the deadline gate never abandons chunk 1, so a value is always present
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = _parse_single_json_line(proc.stdout)
+    d = out['detail']
+    assert d.get('warmup_chunks_done', 0) >= 1, d
+    if 'warmup_truncated' in d:       # the expected path on any normal host
+        assert out['value'] > 0, out
+        assert d['headline_source'] == \
+            'sum of per-chunk best times over warmed chunks'
+        assert d.get('headline_provisional'), d
+        assert d['models_warmed'] >= 1
+    else:                             # absurdly fast host: both chunks warmed
+        assert d['warmup_chunks_done'] == 2
+
+
 def test_bench_sigterm_midrun_still_emits_json():
     """A driver kill at an arbitrary moment still captures a JSON line."""
     proc = subprocess.Popen(
