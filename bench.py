@@ -466,6 +466,15 @@ def learning_proof_detail():
             'candidates': o['num_search'], 'spearman_rho': round(o['spearman_rho'], 3),
             'trained_top1_by_rank_group': {g: round(v['trained'], 2)
                                            for g, v in o['group_means'].items()}}
+    p = os.path.join(rdir, 'nas_finetune_score.json')
+    if os.path.exists(p):  # 1-ft-epoch NAS score; CI overlaps the zero-cost
+        with open(p) as f:  # proxy's rho, so "better" is suggestive only
+            o = json.load(f)
+        out['nas_finetune_score'] = {
+            'spearman_rho_ft': round(o['spearman_rho_ft'], 3),
+            'spearman_rho_zero_cost': round(o['spearman_rho_zero'], 3),
+            'note': 'ft CI [0.09,0.44] contains the zero-cost rho — '
+                    'improvement not significant at n=100'}
     return out
 
 

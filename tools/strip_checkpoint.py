@@ -22,15 +22,27 @@ import numpy as np
 
 def strip(src: str, dst: str) -> None:
     data = np.load(src, allow_pickle=True)
-    meta = data['__meta__'].item() if '__meta__' in data else {}
-    meta.pop('opt_treedef', None)
     out = {k: data[k] for k in data.files
            if k != '__meta__' and not k.startswith('__opt__')}
-    out['__meta__'] = np.array(meta, dtype=object)
-    np.savez(dst, **out)
+    n_params = len(out)
+    if '__meta__' in data.files:
+        meta = data['__meta__'].item()
+        meta.pop('opt_treedef', None)
+        # only re-emit __meta__ when the source had one: fabricating an empty
+        # dict would push checkpoint.py's loader down the __meta__ branch and
+        # default-guess a config where the original file yielded cfg=None
+        out['__meta__'] = np.array(meta, dtype=object)
+    elif '__config__' not in data.files:
+        print(f'warning: {src} has neither __meta__ nor __config__ — the '
+              'output will load with no inferable GHN config', file=sys.stderr)
+    # atomic + compressed: a killed run must not truncate the canonical
+    # artifact path, and committed evidence blobs should be small
+    tmp = dst + '.tmp.npz'
+    np.savez_compressed(tmp, **out)
+    os.replace(tmp, dst)
     a, b = os.path.getsize(src), os.path.getsize(dst)
     print(f'{src} ({a / 1e6:.1f} MB) -> {dst} ({b / 1e6:.1f} MB), '
-          f'{len(out) - 1} param arrays')
+          f'{n_params} param arrays')
 
 
 if __name__ == '__main__':
