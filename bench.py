@@ -249,15 +249,55 @@ def predict_suite(jax):
     # throughput over the models actually swept. With window=1 a full-sweep
     # rep equals the sum of per-chunk times (measured equal, round 4), so the
     # per-chunk-sum is an unbiased stand-in until full-sweep reps land.
+    # GHN3_BENCH_COMPILE_AHEAD: warm chunk compiles on a thread pool so the
+    # XLA/tunnel compiler works on several programs concurrently (each chunk
+    # is a distinct program pair; compiles are independent). The main loop
+    # still consumes chunks IN ORDER, so per-chunk timing and the provisional
+    # headline semantics are unchanged; in-flight compiles of later chunks can
+    # only inflate (never deflate) the truncated-case per-chunk times.
+    compile_ahead = int(os.environ.get('GHN3_BENCH_COMPILE_AHEAD', 4))
+
+    def warm_chunk(ci):
+        chunk, batch = batches[ci]
+        t1 = time.time()
+        views = P.predict_packed(ghn.params, cfg, batch,
+                                 [tables[n] for n in chunk])
+        jax.block_until_ready(views[0].buffer)
+        return time.time() - t1
+
+    executor = None
+    futures = {}
+    if compile_ahead > 1 and len(batches) > 1:
+        import concurrent.futures
+        executor = concurrent.futures.ThreadPoolExecutor(
+            max_workers=compile_ahead)
+        futures = {ci: executor.submit(warm_chunk, ci)
+                   for ci in range(len(batches))}
+
     t0 = time.time()
     chunk_best = []
     models_done = 0
     warm_all = True
     for ci, (chunk, batch) in enumerate(batches):
         t1 = time.time()
-        views = P.predict_packed(ghn.params, cfg, batch,
-                                 [tables[n] for n in chunk])
-        jax.block_until_ready(views[0].buffer)
+        if futures:
+            try:
+                # chunk 0 waits unbounded — SOME throughput number must always
+                # land (the watchdog/SIGTERM handlers cover a hung compile)
+                futures[ci].result(timeout=None if ci == 0 else
+                                   max(30.0, _remaining() - 30.0))
+            except Exception as e:
+                if 'Timeout' in type(e).__name__:
+                    warm_all = False
+                    detail['warmup_truncated'] = (
+                        f'deadline: {ci}/{len(batches)} chunks warmed in '
+                        f'{round(time.time() - t0, 2)} s (compile in flight)')
+                    break
+                raise
+        else:
+            views = P.predict_packed(ghn.params, cfg, batch,
+                                     [tables[n] for n in chunk])
+            jax.block_until_ready(views[0].buffer)
         t_compile = time.time() - t1
         best = None
         for _ in range(2):   # quick re-times now that this chunk is compiled
@@ -286,6 +326,8 @@ def predict_suite(jax):
                 f'deadline: {ci + 1}/{len(batches)} chunks warmed in '
                 f'{detail["warmup_incl_compile_sec"]} s')
             break
+    if executor is not None:
+        executor.shutdown(wait=False, cancel_futures=True)
     if not warm_all:
         return
 
