@@ -57,6 +57,11 @@ CASES = {
 _SLOW_CASES = {'bnfree', 'fc2', 'flatten_head', 'imagenet_stem'}
 CASE_PARAMS = [pytest.param(c, marks=pytest.mark.slow) if c in _SLOW_CASES
                else c for c in sorted(CASES)]
+# the 'mixed' he-init case alone costs ~2 min of CPU compile; vit + the conv
+# cases keep quick-gate coverage of the fetcher (mixed still runs under slow)
+CASE_PARAMS_HE = [pytest.param(c, marks=pytest.mark.slow)
+                  if c in (_SLOW_CASES | {'mixed'}) else c
+                  for c in sorted(CASES)]
 
 
 def _net_and_graph(net_args):
@@ -78,7 +83,7 @@ def _buffer_logits(net_args, params_by_name, images, seedless_graph=None):
     return np.asarray(logits), float(predwd)
 
 
-@pytest.mark.parametrize('case', CASE_PARAMS)
+@pytest.mark.parametrize('case', CASE_PARAMS_HE)
 def test_buffer_fetcher_matches_network_he_init(case):
     net_args = CASES[case]
     net, graph = _net_and_graph(net_args)
@@ -122,6 +127,7 @@ class _TinyData:
             yield images[i:i + batch_size], labels[i:i + batch_size]
 
 
+@pytest.mark.slow
 def test_eval_suite_buffered_matches_per_arch_infer():
     """The batched driver reproduces per-arch `infer` numbers for every net,
     including two same-bucket nets sharing one program and a second bucket."""
