@@ -83,6 +83,15 @@ def deepnets_suite(args, ghn):
     return suite
 
 
+def _file_fingerprint(path: str) -> str:
+    import hashlib
+    h = hashlib.sha256()
+    with open(path, 'rb') as f:
+        for chunk in iter(lambda: f.read(1 << 20), b''):
+            h.update(chunk)
+    return h.hexdigest()[:16]
+
+
 def main():
     args = init_config('eval')
     assert args.ckpt, '--ckpt is required'
@@ -120,10 +129,48 @@ def main():
     elif args.ckpt.find('ghn2') >= 0:
         meta_name = 'ghn2.pt'
 
+    # Per-architecture crash resume (hour-scale sweeps through a tunnel-
+    # attached chip get killed; the reference's GPU sweep restarts from
+    # scratch, eval_ghn.py:73-188). Completed rows persist to a .partial file
+    # keyed by checkpoint CONTENT hash + suite knobs so stale rows can never
+    # silently merge into fresh results (same scheme as tools/learning_proof).
+    part_path = part = None
+    done = {}
+    if args.save_dir:
+        part_path = os.path.join(args.save_dir, 'eval_results.json.partial')
+        part_key = {'ckpt': args.ckpt, 'ckpt_sha': _file_fingerprint(args.ckpt),
+                    'dataset': args.dataset, 'split': args.split,
+                    'num_nets': args.num_nets, 'num_classes': args.num_classes,
+                    'chunk_budget': os.environ.get('GHN3_CHUNK_BUDGET', '')}
+        part = {'key': part_key, 'rows': {}}
+        if os.path.exists(part_path):
+            try:
+                with open(part_path) as f:
+                    prev = json.load(f)
+                if prev.get('key') == part_key:
+                    part = prev
+                    done = dict(part['rows'])
+                    log(f'resuming: {len(done)}/{len(suite)} archs already done')
+                else:
+                    log(f'{part_path} key mismatch — starting fresh')
+            except (json.JSONDecodeError, OSError):
+                pass
+
+    def on_row(row):
+        if part is None:
+            return
+        part['rows'][row['arch']] = row
+        tmp = part_path + '.tmp'
+        with open(tmp, 'w') as f:
+            json.dump(part, f)
+        os.replace(tmp, part_path)
+
     results = predict_and_eval_suite(ghn, suite, data=data,
                                      batch_size=args.val_batch_size,
                                      metadata_name=meta_name,
-                                     data_by_imsize=data_by_imsize)
+                                     data_by_imsize=data_by_imsize,
+                                     on_row=on_row, skip=set(done))
+    results = list(done.values()) + results
 
     if args.save_ckpt:
         # export predicted weights per architecture (reference --save_ckpt)

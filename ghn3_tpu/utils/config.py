@@ -112,6 +112,10 @@ def base_parser(mode: str) -> argparse.ArgumentParser:
                                 'wide', 'deep', 'dense', 'bnfree'])
         p.add_argument('--noise', action='store_true')
         p.add_argument('--save_ckpt', type=str, default=None)
+        p.add_argument('--num_classes', type=int, default=None,
+                       help='override the dataset-implied class count (e.g. '
+                            'sweep the zoo at its canonical 1000-class '
+                            'geometry over synthetic inputs)')
     return p
 
 
@@ -136,8 +140,14 @@ def init_config(mode: str = 'train_ghn', parser: Optional[argparse.ArgumentParse
     args.imsize_explicit = args.imsize is not None
     if args.imsize is None:
         args.imsize = 224 if args.dataset == 'imagenet' else 32
-    args.num_classes = {'imagenet': 1000, 'cifar10': 10, 'synthetic': 10,
-                        'digits': 10}[args.dataset]
+    implied = {'imagenet': 1000, 'cifar10': 10, 'synthetic': 10,
+               'digits': 10}[args.dataset]
+    if getattr(args, 'num_classes', None) is None:
+        args.num_classes = implied
+    elif args.num_classes != implied and args.dataset != 'synthetic':
+        raise ValueError(f'--num_classes {args.num_classes} conflicts with '
+                         f'{args.dataset} ({implied} classes); the override '
+                         'is for synthetic inputs only')
 
     np.random.seed(args.seed)
 
