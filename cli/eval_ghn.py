@@ -95,7 +95,19 @@ def _file_fingerprint(path: str) -> str:
 def main():
     args = init_config('eval')
     assert args.ckpt, '--ckpt is required'
-    ghn = GHN3.from_pretrained(args.ckpt)
+    if args.ckpt.startswith('random:'):
+        # reproducible random-weight GHN for full-scale pipeline sweeps in
+        # environments where the published checkpoints cannot be fetched,
+        # e.g. --ckpt random:ghn3_xl (seed via random:ghn3_xl@7; default 0)
+        from ghn3_tpu import GHNConfig
+        spec, _, seed = args.ckpt[len('random:'):].partition('@')
+        cfg = getattr(GHNConfig, spec)()
+        if args.num_classes != cfg.num_classes:
+            import dataclasses
+            cfg = dataclasses.replace(cfg, num_classes=args.num_classes)
+        ghn = GHN3(cfg, seed=int(seed or 0))
+    else:
+        ghn = GHN3.from_pretrained(args.ckpt)
     log(f'loaded GHN with {ghn.num_params()} params: {ghn.config}')
 
     if args.split == 'torch':
@@ -138,7 +150,9 @@ def main():
     done = {}
     if args.save_dir:
         part_path = os.path.join(args.save_dir, 'eval_results.json.partial')
-        part_key = {'ckpt': args.ckpt, 'ckpt_sha': _file_fingerprint(args.ckpt),
+        ckpt_sha = (args.ckpt if args.ckpt.startswith('random:')
+                    else _file_fingerprint(args.ckpt))
+        part_key = {'ckpt': args.ckpt, 'ckpt_sha': ckpt_sha,
                     'dataset': args.dataset, 'split': args.split,
                     'num_nets': args.num_nets, 'num_classes': args.num_classes,
                     'chunk_budget': os.environ.get('GHN3_CHUNK_BUDGET', '')}
