@@ -95,6 +95,9 @@ def _file_fingerprint(path: str) -> str:
 def main():
     args = init_config('eval')
     assert args.ckpt, '--ckpt is required'
+    from ghn3_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()   # zoo sweeps compile ~60 XL predict programs
+                                # + one forward per twin; cache across runs
     if args.ckpt.startswith('random:'):
         # reproducible random-weight GHN for full-scale pipeline sweeps in
         # environments where the published checkpoints cannot be fetched,

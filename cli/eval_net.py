@@ -23,6 +23,8 @@ from ghn3_tpu.utils.logging import log
 def main():
     args = init_config('eval')
     assert args.ckpt, '--ckpt is required'
+    from ghn3_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
 
     if args.arch == 'convnet':
         from ghn3_tpu.nets.simple import ConvNet

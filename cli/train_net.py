@@ -86,6 +86,8 @@ def init_params(args, model, graph=None, beta=1e-5):
 def main():
     maybe_init_distributed()
     args = init_config('train_net')
+    from ghn3_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     model, graph = build_model(args)
     params = init_params(args, model, graph=graph)
 
