@@ -165,6 +165,7 @@ def main():
                     num_classes=args.num_classes, is_ghn2=args.ghn2,
                     ve=args.virtual_edges > 1, ve_cutoff=max(1, args.virtual_edges),
                     weight_norm=args.weight_norm, layernorm=args.ln,
+                    unit_var_norm=getattr(args, 'unit_var_norm', False),
                     dtype='bfloat16' if args.amp else 'float32')
     ghn = GHN3(cfg, seed=args.seed)
     log(f'GHN-3 with {ghn.num_params()} parameters, config: {cfg}')

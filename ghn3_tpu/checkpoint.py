@@ -43,6 +43,7 @@ def load_state_dict_file(path: str) -> Tuple[Optional[dict], Dict[str, np.ndarra
             for src, dst in (('hid', 'hid'), ('heads', 'heads'),
                              ('layers', 'layers'), ('ln', 'layernorm'),
                              ('weight_norm', 'weight_norm'),
+                             ('unit_var_norm', 'unit_var_norm'),
                              ('num_classes', 'num_classes'),
                              ('ghn2', 'is_ghn2')):
                 if src in cli and cli[src] is not None:

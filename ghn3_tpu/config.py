@@ -21,6 +21,13 @@ class GHNConfig:
     ve: bool = True                  # virtual edges (shortest-path edge values)
     ve_cutoff: int = 50
     weight_norm: bool = True         # fan-in renormalization of predicted tensors
+    # Off-protocol extension (no reference analogue): RMS-normalize each
+    # decoded >1-D tensor to unit scale BEFORE the fan-in rescale, so predicted
+    # weights land at exactly-He magnitude with predicted direction. Motivated
+    # by the bnfree control (RESULTS.md): with the reference rule alone the
+    # decoded values' small RMS collapses activations through norm-free nets
+    # and the meta-gradient vanishes; BN nets are immune (BN rescales).
+    unit_var_norm: bool = False
     layernorm: bool = True           # final LN over node embeddings
     is_ghn2: bool = False
     mlp_ratio: int = 4

@@ -355,6 +355,7 @@ class _Fetcher:
         self.cfg = cfg
         self.x_flat = x_flat
         self.weight_norm = weight_norm
+        self.unit_var = bool(getattr(cfg, 'unit_var_norm', False))
         self.compute_dtype = jnp.dtype(cfg.dtype)
         if z_fc is not None:
             # precomputed hoists (the grouped executor vmaps them over the
@@ -390,7 +391,7 @@ class _Fetcher:
         w = decode_group(self.params, self.cfg, key, None, z=self._zfc(node_id))[0]
         w = tile_params(w, sz, corner=self.cfg.is_ghn2)
         if self.weight_norm:
-            w = normalize_params(w, True)
+            w = normalize_params(w, True, unit_var=self.unit_var)
         return _saved(self.cast(w)), _frob(w)
 
     def pair(self, node_id, sz: Tuple[int, ...]):
@@ -399,15 +400,15 @@ class _Fetcher:
         w = tile_params(z[0], sz)
         b = tile_params(z[1], sz)
         if self.weight_norm:
-            w = normalize_params(w, True)
-            b = normalize_params(b, False)
+            w = normalize_params(w, True, unit_var=self.unit_var)
+            b = normalize_params(b, False, unit_var=self.unit_var)
         return _saved(w), _saved(b), _frob(w) + _frob(b)
 
     def bias(self, node_id, sz: Tuple[int, ...]):
         z = self._z1d(node_id)
         b = tile_params(z[1], sz)
         if self.weight_norm:
-            b = normalize_params(b, False)
+            b = normalize_params(b, False, unit_var=self.unit_var)
         return _saved(self.cast(b)), _frob(b)
 
     def cls_w(self, node_id, sz: Tuple[int, int]):
@@ -417,7 +418,7 @@ class _Fetcher:
         w = decode_group(self.params, self.cfg, key, None, z=self._zfc(node_id))[0]
         w = tile_params(w, sz, corner=self.cfg.is_ghn2)
         if self.weight_norm:
-            w = normalize_params(w, True)
+            w = normalize_params(w, True, unit_var=self.unit_var)
         return _saved(w), _frob(w)
 
     def cls_b(self, node_id, sz: Tuple[int]):
@@ -425,7 +426,7 @@ class _Fetcher:
         b = decode_bias_class(self.params, self._z1d(node_id)[None])[0][1]
         b = tile_params(b, sz)
         if self.weight_norm:
-            b = normalize_params(b, False)
+            b = normalize_params(b, False, unit_var=self.unit_var)
         return _saved(b), _frob(b)
 
     # -- width-folded fetchers -------------------------------------------
@@ -473,8 +474,8 @@ class _Fetcher:
         w = self._tile_dyn_1d(z[0], pad, t)
         b = self._tile_dyn_1d(z[1], pad, t)
         if self.weight_norm:
-            w = normalize_params(w, True)
-            b = normalize_params(b, False)
+            w = normalize_params(w, True, unit_var=self.unit_var)
+            b = normalize_params(b, False, unit_var=self.unit_var)
             # masked channels must stay exactly zero (2*sigmoid(0) = 1)
             live = (jnp.arange(pad) < t).astype(w.dtype)
             w = w * live
@@ -485,7 +486,7 @@ class _Fetcher:
         z = self._z1d(node_id)
         b = self._tile_dyn_1d(z[1], pad, t)
         if self.weight_norm:
-            b = normalize_params(b, False)
+            b = normalize_params(b, False, unit_var=self.unit_var)
             b = b * (jnp.arange(pad) < t).astype(b.dtype)
         return _saved(self.cast(b)), _frob(b)
 
@@ -1053,6 +1054,7 @@ class BufferFetcher(_Fetcher):
         self.cfg = cfg
         self.x_flat = None
         self.weight_norm = False     # stored values are final
+        self.unit_var = False
         self.compute_dtype = jnp.dtype(cfg.dtype)
         self.buffer = buffer
         self.node_off = node_off

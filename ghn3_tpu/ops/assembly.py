@@ -153,9 +153,14 @@ def tile_params_flat(w, target_shape: Sequence[int], corner: bool = False):
     return w2
 
 
-def normalize_params(p: np.ndarray, is_w: bool) -> np.ndarray:
+def normalize_params(p: np.ndarray, is_w: bool,
+                     unit_var: bool = False) -> np.ndarray:
     """Fan-in renormalization of a predicted tensor (reference `_normalize`,
-    nn.py:554-592, applied when weight_norm=True)."""
+    nn.py:554-592, applied when weight_norm=True).
+
+    ``unit_var`` (GHNConfig.unit_var_norm, off-protocol, default off):
+    RMS-normalize the tensor first so the fan-in rescale lands at exactly-He
+    magnitude regardless of the decoded values' scale (see config.py)."""
     xp = _xp(p)
     if p.ndim > 1:
         sz = p.shape
@@ -163,6 +168,8 @@ def normalize_params(p: np.ndarray, is_w: bool) -> np.ndarray:
             return p  # positional encodings are not normalized
         no_relu = len(sz) > 2 and (sz[1] == 1 or sz[2] < sz[3])
         beta = 1.0 if no_relu else 2.0
+        if unit_var:
+            p = p / (xp.sqrt((p * p).mean()) + 1e-8)
         return p * math.sqrt(beta / max(1, int(np.prod(sz[1:]))))
     if is_w:
         return 2.0 / (1.0 + xp.exp(-0.5 * p))   # 2*sigmoid(0.5 p): norm weights in [0, 2]

@@ -210,7 +210,7 @@ def _runs(items_sig):
     return runs
 
 
-def _normalize_block(block, target_sz, is_w: bool):
+def _normalize_block(block, target_sz, is_w: bool, unit_var: bool = False):
     """Batched fan-in normalization: same rules as ops.assembly.normalize_params,
     decided from the (static) target shape; ``block`` has a leading run axis."""
     import math
@@ -220,13 +220,18 @@ def _normalize_block(block, target_sz, is_w: bool):
             return block  # positional encodings are not normalized
         no_relu = len(sz) > 2 and (sz[1] == 1 or sz[2] < sz[3])
         beta = 1.0 if no_relu else 2.0
+        if unit_var:   # per-tensor RMS along all but the run axis (config.py)
+            axes = tuple(range(1, block.ndim))
+            rms = jnp.sqrt((block * block).mean(axis=axes, keepdims=True))
+            block = block / (rms + 1e-8)
         return block * math.sqrt(beta / max(1, int(np.prod(sz[1:]))))
     if is_w:
         return 2.0 / (1.0 + jnp.exp(-0.5 * block))
     return jnp.tanh(0.2 * block)
 
 
-def _emit_blocks(decoded, items_sig, weight_norm: bool, corner: bool = False):
+def _emit_blocks(decoded, items_sig, weight_norm: bool, corner: bool = False,
+                 unit_var: bool = False):
     """Tile/normalize a decoded group as vectorized runs. Returns a list of
     (start, count, target_sz, pair_it, block) where ``block`` is (count, *sz).
     vmap over identical-shape runs keeps the program size proportional to the
@@ -240,7 +245,8 @@ def _emit_blocks(decoded, items_sig, weight_norm: bool, corner: bool = False):
             for pair_it, row in enumerate(rows):
                 block = tile(row)
                 if weight_norm:
-                    block = _normalize_block(block, sz, is_w and pair_it == 0)
+                    block = _normalize_block(block, sz, is_w and pair_it == 0,
+                                             unit_var=unit_var)
                 out.append((start, count, sz, pair_it, block))
         else:
             if len(sz) == 4 and not isinstance(decoded, np.ndarray) \
@@ -251,7 +257,7 @@ def _emit_blocks(decoded, items_sig, weight_norm: bool, corner: bool = False):
                     t, sz, corner=corner))
             block = tile(sub)
             if weight_norm:
-                block = _normalize_block(block, sz, is_w)
+                block = _normalize_block(block, sz, is_w, unit_var=unit_var)
             out.append((start, count, sz, 0, block))
     return out
 
@@ -285,8 +291,9 @@ def _assemble_all_fn(cfg: GHNConfig, signature, weight_norm: bool):
             for (key, items_sig), inds in zip(signature, inds_groups):
                 x_g = jnp.take(x_flat, inds, axis=0)
                 decoded = decode_group(params, cfg, key, x_g)
-                for _, _, _, _, block in _emit_blocks(decoded, items_sig, weight_norm,
-                                                      corner=cfg.is_ghn2):
+                for _, _, _, _, block in _emit_blocks(
+                        decoded, items_sig, weight_norm, corner=cfg.is_ghn2,
+                        unit_var=getattr(cfg, 'unit_var_norm', False)):
                     pieces.append(block.reshape(-1))
             return jnp.concatenate(pieces)
     return jax.jit(run)
@@ -334,7 +341,8 @@ class PackedParams:
 
 
 def _assemble_item(item: GroupItem, w_node, weight_norm: bool,
-                   rng: Optional[np.random.Generator], corner: bool = False) -> None:
+                   rng: Optional[np.random.Generator], corner: bool = False,
+                   unit_var: bool = False) -> None:
     """Tile/normalize one node's decoded tensor(s) on host and hand them to the
     setter (torch-target path)."""
     sz = item.target_sz
@@ -348,7 +356,7 @@ def _assemble_item(item: GroupItem, w_node, weight_norm: bool,
         tiled = tile_params(w_, sz, rng=rng, corner=corner)
         is_w = bool(item.record.is_w) and it == 0
         if weight_norm:
-            tiled = normalize_params(tiled, is_w)
+            tiled = normalize_params(tiled, is_w, unit_var=unit_var)
         item.record.set_fn(np.ascontiguousarray(tiled), is_w)
 
 
@@ -387,7 +395,8 @@ def run_plan(params, cfg: GHNConfig, x_flat, plan: DecodePlan,
             decoded = decode_group(params, cfg, key, x_g)
             items_sig = tuple((tuple(it.target_sz), bool(it.record.is_w)) for it in items)
             for start, count, sz, pair_it, block in _emit_blocks(
-                    decoded, items_sig, weight_norm, corner=cfg.is_ghn2):
+                    decoded, items_sig, weight_norm, corner=cfg.is_ghn2,
+                    unit_var=getattr(cfg, 'unit_var_norm', False)):
                 for j in range(count):
                     item = items[start + j]
                     val = block[j]
@@ -414,7 +423,9 @@ def run_plan(params, cfg: GHNConfig, x_flat, plan: DecodePlan,
         decoded_all = [np.asarray(d) for d in jax.device_get(decoded_all)]
         for (key, items), decoded in zip(active, decoded_all):
             for w_ind, item in enumerate(items):
-                _assemble_item(item, decoded[w_ind], weight_norm, rng, corner=cfg.is_ghn2)
+                _assemble_item(item, decoded[w_ind], weight_norm, rng,
+                               corner=cfg.is_ghn2,
+                               unit_var=getattr(cfg, 'unit_var_norm', False))
         return
 
     # functional targets: one fused XLA program (gather + decode + tile +

@@ -57,6 +57,11 @@ def base_parser(mode: str) -> argparse.ArgumentParser:
                        help='decoder canonical channel size (default 64; '
                             'hid*2 for --ghn2, matching the reference)')
         p.add_argument('--weight_norm', action='store_true')
+        p.add_argument('--unit_var_norm', action='store_true',
+                       help='off-protocol: RMS-normalize decoded tensors to '
+                            'exactly-He scale before the fan-in rescale '
+                            '(norm-free-net rescue; see RESULTS.md bnfree '
+                            'positive control)')
         p.add_argument('--hypernet', type=str, default='graphormer')
         p.add_argument('--decoder', type=str, default='conv')
         p.add_argument('-m', '--meta_batch_size', type=int, default=1)
