@@ -39,6 +39,9 @@ def main():
     ap.add_argument('--fc_dims', type=str, default=None)
     ap.add_argument('--pad_nodes', type=str, default=None)
     ap.add_argument('--threads', type=int, default=min(16, os.cpu_count() or 8))
+    ap.add_argument('--unit_var_norm', action='store_true',
+                    help='compile the off-protocol unit-variance decode '
+                         'programs (GHNConfig.unit_var_norm)')
     ap.add_argument('--max_buckets', type=int, default=None)
     ap.add_argument('--platform', type=str, default=None)
     ap.add_argument('--seed', type=int, default=1111)
@@ -59,7 +62,8 @@ def main():
     s = 16 if args.imagenet else 11
     cfg = GHNConfig(hid=args.hid, heads=args.heads, layers=args.layers,
                     max_shape=(64, 64, s, s), num_classes=args.num_classes,
-                    weight_norm=True, layernorm=True)
+                    weight_norm=True, layernorm=True,
+                    unit_var_norm=args.unit_var_norm)
     ghn = GHN3(cfg, seed=args.seed)
     trainer = Trainer(ghn=ghn, opt='adamw', opt_args={'lr': 4e-4, 'weight_decay': 1e-2},
                       n_batches=1, predparam_wd=3e-5)
