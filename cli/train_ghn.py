@@ -209,7 +209,9 @@ def main():
                 pool[(epoch * n_batches + step) % len(pool)]
             trainer.update(images, labels, meta_batch=mb)
             trainer.log(step)
-            trainer.save(epoch, step, config, interm_epoch=args.interm_epoch)
+            trainer.save(epoch, step, config, interm_epoch=args.interm_epoch,
+                         epoch_freq=1 if epoch >= args.epochs - 1
+                         else args.epoch_ckpt_freq)
         trainer.scheduler_step(epoch + 1)
     if args.profile:
         import jax

@@ -577,15 +577,25 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def save(self, epoch: int, step: int, config: Optional[dict] = None,
-             save_freq: int = 300, interm_epoch: int = 5):
+             save_freq: int = 300, interm_epoch: int = 5, epoch_freq: int = 1):
         if self.checkpoint_path is None:
             return
-        if not (((step + 1) % save_freq == 0) or step == self.n_batches - 1):
+        at_epoch_end = step == self.n_batches - 1
+        if not (((step + 1) % save_freq == 0) or at_epoch_end):
             return
         if jax.process_index() != 0:
             return
-        self._write_checkpoint(self.checkpoint_path, epoch, step, config)
-        log(f'\nsaved the checkpoint to {self.checkpoint_path} at epoch={epoch}, step={step}')
+        # epoch_freq > 1 skips the epoch-end resume checkpoint on most epochs:
+        # with short epochs (few steps) the full-trainer-state write dominates
+        # wall time (reference saves every 300 steps, trainer.py:413-416 — one
+        # epoch here can be far fewer steps than that).  Mid-epoch save_freq
+        # saves are unaffected; a crash costs at most epoch_freq epochs.
+        if at_epoch_end and (epoch + 1) % epoch_freq != 0 and epoch != 0:
+            if (epoch + 1) % interm_epoch != 0:
+                return
+        else:
+            self._write_checkpoint(self.checkpoint_path, epoch, step, config)
+            log(f'\nsaved the checkpoint to {self.checkpoint_path} at epoch={epoch}, step={step}')
         if (epoch + 1) % interm_epoch == 0 or epoch == 0:
             interm = self.checkpoint_path.replace('.npz', '_epoch%d.npz' % (epoch + 1))
             self._write_checkpoint(interm, epoch, step, config)

@@ -107,6 +107,10 @@ def base_parser(mode: str) -> argparse.ArgumentParser:
                        help="RandAugment spec, e.g. 'rand-m6-mstd0.5' (A3 recipe)")
         p.add_argument('--predparam_wd', type=float, default=0.0)
         p.add_argument('--interm_epoch', type=int, default=5)
+        p.add_argument('--epoch_ckpt_freq', type=int, default=1,
+                       help='write the epoch-end resume checkpoint only every '
+                            'N epochs (always on the final epoch); cuts IO for '
+                            'large GHNs with short epochs')
         p.add_argument('--log_interval', type=int, default=100)
     if mode in ('train_net', 'eval'):
         # eval defaults to sweeping the whole suite (reference eval_ghn behavior)

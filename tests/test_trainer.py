@@ -94,6 +94,30 @@ def test_checkpoint_save_resume(tmp_path):
     assert trainer2.start_epoch == 1  # step 1 == n_batches-1 -> next epoch
 
 
+def test_checkpoint_epoch_freq(tmp_path):
+    """epoch_freq>1 skips the epoch-end resume write on non-matching epochs
+    but still writes epoch-0, matching epochs, and interm checkpoints."""
+    ghn = GHN3(CFG, seed=1)
+    trainer = Trainer(ghn=ghn, opt='adamw', opt_args={'lr': 1e-3}, scheduler='cosine',
+                      n_batches=2, epochs=40, save_dir=str(tmp_path))
+    ck = trainer.checkpoint_path
+
+    def saved_at(epoch, **kw):
+        if os.path.exists(ck):
+            os.remove(ck)
+        trainer.save(epoch=epoch, step=1, save_freq=300, **kw)
+        return os.path.exists(ck)
+
+    assert saved_at(0, epoch_freq=10)            # epoch 0 always saved
+    assert not saved_at(3, epoch_freq=10, interm_epoch=100)
+    assert saved_at(9, epoch_freq=10)            # (9+1) % 10 == 0
+    assert saved_at(3, epoch_freq=1)             # default behavior unchanged
+    # interm epoch still writes its own file even when the main save is skipped
+    interm = ck.replace('.npz', '_epoch20.npz')
+    assert not saved_at(19, epoch_freq=7, interm_epoch=20)
+    assert os.path.exists(interm)
+
+
 def test_nan_skip():
     ghn = GHN3(CFG, seed=1)
     mb = _meta_batch(CFG)
