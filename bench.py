@@ -62,6 +62,9 @@ RESULT = {
 }
 _EMITTED = False
 _EMIT_LOCK = threading.Lock()
+# Deferred MFU closure: predict_suite stores it, main() runs it after the
+# meta_train / imagenet_scale blocks (lowest budget priority).
+MFU_FN = [None]
 
 
 def _emit():
@@ -367,38 +370,39 @@ def predict_suite(jax):
     RESULT['detail']['sweep_sec_median'] = round(float(np.median(rep_times)), 3)
     RESULT['detail']['sweep_sec_reps'] = [round(t, 3) for t in rep_times]
 
-    if _remaining() < 60:
-        RESULT['detail']['mfu'] = {'skipped': 'deadline'}
-        return
-    # FLOPs of the executed programs for MFU (host-side lowering; the compile
-    # hits the in-process jit cache / persistent cache for already-run shapes)
-    total_flops = 0.0
-    for chunk, batch in batches:
-        plan = P.build_plan(batch, [tables[n] for n in chunk], cfg)
-        levels = np.zeros_like(batch.node_op)
-        total_flops += _flops(P._forward_fn(cfg).lower(
-            ghn.params, batch.node_op, batch.adj, plan.shape_ind, batch.mask,
-            levels).compile())
-        active = list(plan.groups.items())
-        signature = tuple(
-            (key, tuple((tuple(it.target_sz), bool(it.record.is_w)) for it in items))
-            for key, items in active)
-        inds_groups = []
-        for key, items in active:
-            g = len(items)
-            inds = np.zeros((P._group_bucket(g),), dtype=np.int32)
-            inds[:g] = [it.flat_idx for it in items]
-            inds_groups.append(inds)
-        x_flat_shape = jax.ShapeDtypeStruct((len(batch) * batch.n_pad, cfg.hid),
-                                            np.float32)
-        total_flops += _flops(P._assemble_all_fn(cfg, signature, cfg.weight_norm)
-                              .lower(ghn.params, x_flat_shape,
-                                     tuple(inds_groups)).compile())
+    # MFU accounting needs a host-side lowering pass over every chunk program
+    # (minutes, even warm).  meta_train / imagenet_scale have priority for the
+    # remaining deadline budget (4 rounds of driver captures never reached
+    # them), so defer the MFU pass: main() runs it LAST via this closure.
+    def compute_mfu():
+        total_flops = 0.0
+        for chunk, batch in batches:
+            plan = P.build_plan(batch, [tables[n] for n in chunk], cfg)
+            levels = np.zeros_like(batch.node_op)
+            total_flops += _flops(P._forward_fn(cfg).lower(
+                ghn.params, batch.node_op, batch.adj, plan.shape_ind, batch.mask,
+                levels).compile())
+            active = list(plan.groups.items())
+            signature = tuple(
+                (key, tuple((tuple(it.target_sz), bool(it.record.is_w)) for it in items))
+                for key, items in active)
+            inds_groups = []
+            for key, items in active:
+                g = len(items)
+                inds = np.zeros((P._group_bucket(g),), dtype=np.int32)
+                inds[:g] = [it.flat_idx for it in items]
+                inds_groups.append(inds)
+            x_flat_shape = jax.ShapeDtypeStruct((len(batch) * batch.n_pad, cfg.hid),
+                                                np.float32)
+            total_flops += _flops(P._assemble_all_fn(cfg, signature, cfg.weight_norm)
+                                  .lower(ghn.params, x_flat_shape,
+                                         tuple(inds_groups)).compile())
+        if total_flops:
+            RESULT['detail']['sweep_gflops'] = round(total_flops / 1e9, 1)
+            RESULT['detail']['mfu_vs_v5e_bf16_peak'] = round(
+                total_flops / t_predict / V5E_PEAK_FLOPS, 6)
 
-    if total_flops:
-        RESULT['detail']['sweep_gflops'] = round(total_flops / 1e9, 1)
-        RESULT['detail']['mfu_vs_v5e_bf16_peak'] = round(
-            total_flops / t_predict / V5E_PEAK_FLOPS, 6)
+    MFU_FN[0] = compute_mfu
 
 
 def meta_train_detail():
@@ -599,6 +603,16 @@ def main():
         if alive:
             _run_block('imagenet_scale', imagenet_scale_detail,
                        min_budget_sec=300)
+
+    # MFU pass last: lowest-priority budget consumer (see predict_suite)
+    if MFU_FN[0] is not None:
+        if _remaining() < 60:
+            RESULT['detail']['mfu'] = {'skipped': 'deadline'}
+        else:
+            try:
+                MFU_FN[0]()
+            except Exception as e:
+                RESULT['detail']['mfu'] = {'error': repr(e)}
 
     _emit()
     if threading.active_count() > 1:
