@@ -10,7 +10,11 @@ through ``GHN3.from_pretrained`` (``checkpoint.py`` ignores ``__opt__``/
 ``opt_treedef`` keys either way; this just stops committing them).
 
     python tools/strip_checkpoint.py checkpoints/x/checkpoint.npz \
-        [checkpoints/x/checkpoint_params.npz]
+        [checkpoints/x/checkpoint_params.npz] [--f16]
+
+``--f16`` additionally casts float32/float64 arrays to float16 (half the
+bytes again) for large distribution artifacts; the loader casts back to
+float32 on read, so re-evaluate from the stripped file when citing numbers.
 """
 import os
 import sys
@@ -20,10 +24,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def strip(src: str, dst: str) -> None:
+def strip(src: str, dst: str, f16: bool = False) -> None:
     data = np.load(src, allow_pickle=True)
     out = {k: data[k] for k in data.files
            if k != '__meta__' and not k.startswith('__opt__')}
+    if f16:
+        out = {k: (v.astype(np.float16) if v.dtype in (np.float32, np.float64)
+                   else v) for k, v in out.items()}
     n_params = len(out)
     if '__meta__' in data.files:
         meta = data['__meta__'].item()
@@ -46,7 +53,10 @@ def strip(src: str, dst: str) -> None:
 
 
 if __name__ == '__main__':
-    src = sys.argv[1]
-    dst = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
-        os.path.dirname(src), 'checkpoint_params.npz')
-    strip(src, dst)
+    argv = [a for a in sys.argv[1:] if a != '--f16']
+    f16 = '--f16' in sys.argv[1:]
+    src = argv[0]
+    dst = argv[1] if len(argv) > 1 else os.path.join(
+        os.path.dirname(src),
+        'checkpoint_params_f16.npz' if f16 else 'checkpoint_params.npz')
+    strip(src, dst, f16=f16)
