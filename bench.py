@@ -504,6 +504,32 @@ def learning_proof_detail():
             'predicted': round(o['mean_top1_predicted'], 2),
             'randinit': round(o['mean_top1_randinit'], 2),
             'beat_randinit': f"{o['archs_beating_randinit']}/{o['n_archs']}"}
+    lscale = {}
+    for split in ('val', 'test', 'wide', 'deep', 'dense', 'bnfree'):
+        p = os.path.join(rdir, f'learning_proof_l_{split}.json')
+        if os.path.exists(p):  # L-class GHN (hid 256 / 16 heads / 12 layers)
+            with open(p) as f:  # trained to convergence, same digits protocol
+                o = json.load(f)
+            lscale[split] = {'predicted': round(o['mean_top1_predicted'], 2),
+                             'randinit': round(o['mean_top1_randinit'], 2),
+                             'beat_randinit': f"{o['archs_beating_randinit']}"
+                                              f"/{o['n_archs']}"}
+    if lscale:
+        out['l_scale'] = lscale
+    uv = {}
+    for tag, fname in (('val', 'bnfree_control_uv_val.json'),
+                       ('bnfree', 'bnfree_control_uv.json'),
+                       ('indist', 'bnfree_control_uv_indist.json')):
+        p = os.path.join(rdir, fname)
+        if os.path.exists(p):  # unit_var_norm prediction-side fix control
+            with open(p) as f:  # (same mixed-norm recipe as bnfree_control)
+                o = json.load(f)
+            uv[tag] = {'predicted': round(o['mean_top1_predicted'], 2),
+                       'randinit': round(o['mean_top1_randinit'], 2),
+                       'beat_randinit': f"{o['archs_beating_randinit']}"
+                                        f"/{o['n_archs']}"}
+    if uv:
+        out['unit_var_norm_control'] = uv
     p = os.path.join(rdir, 'nas_demo.json')
     if os.path.exists(p):  # prediction-based NAS on the search split
         with open(p) as f:
